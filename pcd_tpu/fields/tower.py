@@ -137,16 +137,34 @@ class ExtElem:
             return self.mul_base(o)
         k = self.DEGREE
         nr = self.NR
+        a, b = self.c, o.c
+        if k == 2:
+            # Karatsuba: 3 base muls
+            v0 = a[0] * b[0]
+            v1 = a[1] * b[1]
+            m = (a[0] + a[1]) * (b[0] + b[1])
+            return type(self)([v0 + nr * v1, m - v0 - v1])
+        if k == 3:
+            # Karatsuba: 6 base muls
+            v0 = a[0] * b[0]
+            v1 = a[1] * b[1]
+            v2 = a[2] * b[2]
+            m01 = (a[0] + a[1]) * (b[0] + b[1])
+            m02 = (a[0] + a[2]) * (b[0] + b[2])
+            m12 = (a[1] + a[2]) * (b[1] + b[2])
+            c0 = v0 + nr * (m12 - v1 - v2)
+            c1 = m01 - v0 - v1 + nr * v2
+            c2 = m02 - v0 - v2 + v1
+            return type(self)([c0, c1, c2])
+        # generic schoolbook fallback
         z = self.BASE.zero()
         acc = [z] * (2 * k - 1)
-        a, b = self.c, o.c
         for i in range(k):
             ai = a[i]
             if ai.is_zero():
                 continue
             for j in range(k):
                 acc[i + j] = acc[i + j] + ai * b[j]
-        # reduce v^(k+t) = NR * v^t
         out = list(acc[:k])
         for t in range(k - 1):
             out[t] = out[t] + acc[k + t] * nr
@@ -155,6 +173,26 @@ class ExtElem:
     __rmul__ = __mul__
 
     def square(self):
+        k = self.DEGREE
+        nr = self.NR
+        a = self.c
+        if k == 2:
+            # complex squaring: 2 base muls
+            v0 = a[0] * a[1]
+            m = (a[0] + a[1]) * (a[0] + nr * a[1])
+            return type(self)([m - v0 - nr * v0, v0 + v0])
+        if k == 3:
+            # Chung–Hasan SQR2: 5 base muls
+            s0 = a[0] * a[0]
+            ab = a[0] * a[1]
+            s1 = ab + ab
+            s2 = (a[0] - a[1] + a[2]) * (a[0] - a[1] + a[2])
+            bc = a[1] * a[2]
+            s3 = bc + bc
+            s4 = a[2] * a[2]
+            return type(self)([s0 + nr * s3,
+                               s1 + nr * s4,
+                               s1 + s2 + s3 - s0 - s4])
         return self * self
 
     def is_zero(self):
@@ -180,7 +218,7 @@ class ExtElem:
         while e:
             if e & 1:
                 r = r * b
-            b = b * b
+            b = b.square()
             e >>= 1
         return r
 

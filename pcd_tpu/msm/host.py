@@ -1,0 +1,69 @@
+"""Host-side MSM (control plane / small sizes / correctness oracle).
+
+The production MSM is the device Pippenger in pcd_tpu/msm/tensor.py
+(SURVEY.md D4 — the #1 hot loop of Groth16/GM17 prove).  The host versions
+here use windowed methods over Python-int points: adequate for toy-cycle
+tests and key derivation at small scale.
+"""
+
+from __future__ import annotations
+
+
+def msm(points, scalars):
+    """Variable-base MSM: sum scalars[i] * points[i] (host, windowed 4-bit
+    Pippenger — fine for toy sizes)."""
+    assert len(points) == len(scalars)
+    if not points:
+        raise ValueError("empty MSM")
+    curve = points[0].curve
+    acc_total = curve.infinity()
+    c = 4
+    nbits = max((int(s).bit_length() for s in scalars), default=1) or 1
+    nwin = (nbits + c - 1) // c
+    for w in range(nwin - 1, -1, -1):
+        buckets = [None] * (1 << c)
+        for pt, s in zip(points, scalars):
+            idx = (int(s) >> (w * c)) & ((1 << c) - 1)
+            if idx:
+                buckets[idx] = pt if buckets[idx] is None else buckets[idx] + pt
+        running = curve.infinity()
+        window_sum = curve.infinity()
+        for b in range((1 << c) - 1, 0, -1):
+            if buckets[b] is not None:
+                running = running + buckets[b]
+            window_sum = window_sum + running
+        if w != nwin - 1:
+            for _ in range(c):
+                acc_total = acc_total.double()
+        acc_total = acc_total + window_sum
+    return acc_total
+
+
+class FixedBaseTable:
+    """Windowed fixed-base table: scalar * G for many scalars sharing G."""
+
+    def __init__(self, base, max_bits: int, window: int = 8):
+        self.window = window
+        self.nwin = (max_bits + window - 1) // window
+        self.tables = []
+        cur = base
+        for _ in range(self.nwin):
+            row = [base.curve.infinity()]
+            for _ in range((1 << window) - 1):
+                row.append(row[-1] + cur)
+            self.tables.append(row)
+            for _ in range(window):
+                cur = cur.double()
+        self.curve = base.curve
+
+    def mul(self, scalar: int):
+        acc = self.curve.infinity()
+        s = int(scalar)
+        for w in range(self.nwin):
+            idx = (s >> (w * self.window)) & ((1 << self.window) - 1)
+            if idx:
+                acc = acc + self.tables[w][idx]
+        return acc
+
+    def mul_many(self, scalars):
+        return [self.mul(s) for s in scalars]

@@ -1,0 +1,240 @@
+"""Groth16 native prover/verifier (replaces ark-groth16, reference
+Cargo.toml:39; used as MainSNARK/HelpSNARK in tests/mnt4_groth16.rs:26-29).
+
+Standard Groth16 over the QAP of the R1CS:
+  - domain H of size >= num_constraints + num_instance; the instance
+    variables get "input consistency" rows (A[nc+i][i]=1) so their
+    A-polynomials are independent (libsnark/arkworks convention)
+  - setup evaluates u_i/v_i/w_i at tau via Lagrange coefficients (no FFT)
+  - prove computes h = (A B - C)/Z_H on a coset and commits via MSMs
+  - proofs are randomized (r, s)
+
+The MSM/FFT calls go through backend hooks (`self.msm`, domain FFTs) so the
+device path (JAX Pippenger / batched FFT) can be swapped in for production
+sizes without touching protocol logic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ...msm.host import FixedBaseTable, msm as host_msm
+from ...poly.domain import EvaluationDomain
+from ...r1cs.system import ConstraintSystem
+from ..api import SNARKError
+
+
+@dataclass
+class Groth16Proof:
+    a: object  # G1
+    b: object  # G2
+    c: object  # G1
+
+    def clone(self):
+        return Groth16Proof(self.a, self.b, self.c)
+
+
+@dataclass
+class Groth16VK:
+    alpha_g1: object
+    beta_g2: object
+    gamma_g2: object
+    delta_g2: object
+    gamma_abc: list  # G1, length num_instance
+
+
+@dataclass
+class Groth16PVK:
+    vk: Groth16VK
+    alpha_beta: object  # e(alpha, beta) in Fq^k
+
+
+@dataclass
+class Groth16PK:
+    vk: Groth16VK
+    beta_g1: object
+    delta_g1: object
+    a_query: list     # u_i(tau) G1 per variable
+    b_g1_query: list  # v_i(tau) G1
+    b_g2_query: list  # v_i(tau) G2
+    h_query: list     # tau^i Z(tau)/delta G1,  i < n-1
+    l_query: list     # (beta u_i + alpha v_i + w_i)/delta G1, witness vars
+    num_instance: int
+    domain_size: int
+
+
+class Groth16:
+    def __init__(self, curve_cfg):
+        """curve_cfg: MNTCurveConfig — G1/G2/Fr and the pairing."""
+        self.cfg = curve_cfg
+        self.Fr = curve_cfg.Fr
+        from ...pairing.ate import pairing_for
+
+        self.pairing = pairing_for(curve_cfg)
+        self.msm = host_msm
+
+    # ------------------------------------------------------------------
+    def _synthesize(self, circuit) -> ConstraintSystem:
+        cs = ConstraintSystem(self.Fr)
+        circuit.generate_constraints(cs)
+        return cs
+
+    @staticmethod
+    def _matrix_rows(cs: ConstraintSystem):
+        """Constraint rows + input-consistency rows, as sparse lc dicts in
+        *column* index space (0..num_vars)."""
+        n_inst = cs.num_instance
+        rows = []
+        for (a, b, c) in cs.constraints:
+            def remap(lc):
+                return {(n_inst + (-v - 1) if v < 0 else v): co % cs.p
+                        for v, co in lc.items()}
+            rows.append((remap(a), remap(b), remap(c)))
+        for i in range(n_inst):
+            rows.append(({i: 1}, {}, {}))
+        return rows
+
+    # ------------------------------------------------------------------
+    def circuit_specific_setup(self, circuit, rng):
+        cs = self._synthesize(circuit)
+        p = self.Fr.MODULUS
+        rows = self._matrix_rows(cs)
+        num_vars = cs.num_instance + cs.num_witness
+        n_inst = cs.num_instance
+        domain = EvaluationDomain.new(self.Fr, len(rows))
+
+        tau = rng.randrange(1, p)
+        alpha = rng.randrange(1, p)
+        beta = rng.randrange(1, p)
+        gamma = rng.randrange(1, p)
+        delta = rng.randrange(1, p)
+
+        lag = domain.lagrange_coeffs_at(tau)
+        u = [0] * num_vars
+        v = [0] * num_vars
+        w = [0] * num_vars
+        for j, (ra, rb, rc) in enumerate(rows):
+            lj = lag[j]
+            if lj == 0:
+                continue
+            for col, co in ra.items():
+                u[col] = (u[col] + co * lj) % p
+            for col, co in rb.items():
+                v[col] = (v[col] + co * lj) % p
+            for col, co in rc.items():
+                w[col] = (w[col] + co * lj) % p
+
+        zt = domain.vanishing_poly_at(tau)
+        gamma_inv = pow(gamma, -1, p)
+        delta_inv = pow(delta, -1, p)
+
+        g1 = self.cfg.g1_gen
+        g2 = self.cfg.g2_gen
+        t1 = FixedBaseTable(g1, self.Fr.BITS, window=8)
+        t2 = FixedBaseTable(g2, self.Fr.BITS, window=8)
+
+        gamma_abc = [t1.mul((beta * u[i] + alpha * v[i] + w[i]) % p * gamma_inv % p)
+                     for i in range(n_inst)]
+        l_query = [t1.mul((beta * u[i] + alpha * v[i] + w[i]) % p * delta_inv % p)
+                   for i in range(n_inst, num_vars)]
+        a_query = [t1.mul(u[i]) for i in range(num_vars)]
+        b_g1_query = [t1.mul(v[i]) for i in range(num_vars)]
+        b_g2_query = [t2.mul(v[i]) for i in range(num_vars)]
+        # h_query: tau^i * Z(tau) / delta, i = 0..n-2
+        h_query = []
+        cur = zt * delta_inv % p
+        for _ in range(domain.n - 1):
+            h_query.append(t1.mul(cur))
+            cur = cur * tau % p
+
+        vk = Groth16VK(
+            alpha_g1=t1.mul(alpha),
+            beta_g2=t2.mul(beta),
+            gamma_g2=t2.mul(gamma),
+            delta_g2=t2.mul(delta),
+            gamma_abc=gamma_abc,
+        )
+        pk = Groth16PK(
+            vk=vk,
+            beta_g1=t1.mul(beta),
+            delta_g1=t1.mul(delta),
+            a_query=a_query,
+            b_g1_query=b_g1_query,
+            b_g2_query=b_g2_query,
+            h_query=h_query,
+            l_query=l_query,
+            num_instance=n_inst,
+            domain_size=domain.n,
+        )
+        return pk, vk
+
+    # ------------------------------------------------------------------
+    def prove(self, pk: Groth16PK, circuit, rng):
+        cs = self._synthesize(circuit)
+        p = self.Fr.MODULUS
+        num_vars = cs.num_instance + cs.num_witness
+        if num_vars != len(pk.a_query):
+            raise SNARKError(
+                f"circuit shape mismatch: {num_vars} vars vs pk {len(pk.a_query)}")
+        bad = cs.first_unsatisfied()
+        if bad is not None:
+            raise SNARKError(f"unsatisfied constraint {cs.which_is_unsatisfied()}")
+
+        z = cs.full_assignment()
+        rows = self._matrix_rows(cs)
+        domain = EvaluationDomain(self.Fr, pk.domain_size)
+        n_inst = cs.num_instance
+
+        # h(x) = (A(x) B(x) - C(x)) / Z_H(x) via coset evaluation
+        a_ev = [0] * domain.n
+        b_ev = [0] * domain.n
+        c_ev = [0] * domain.n
+        for j, (ra, rb, rc) in enumerate(rows):
+            a_ev[j] = sum(co * z[col] for col, co in ra.items()) % p
+            b_ev[j] = sum(co * z[col] for col, co in rb.items()) % p
+            c_ev[j] = sum(co * z[col] for col, co in rc.items()) % p
+        a_poly = domain.ifft(a_ev)
+        b_poly = domain.ifft(b_ev)
+        c_poly = domain.ifft(c_ev)
+        a_cos = domain.coset_fft(a_poly)
+        b_cos = domain.coset_fft(b_poly)
+        c_cos = domain.coset_fft(c_poly)
+        zh_cos_inv = pow(domain.vanishing_poly_at(domain.coset_shift), -1, p)
+        h_cos = [ (a_cos[i] * b_cos[i] - c_cos[i]) % p * zh_cos_inv % p
+                  for i in range(domain.n)]
+        h = domain.coset_ifft(h_cos)
+        # degree of h is n-2; drop the top coefficient (must be ~0)
+        h = h[: domain.n - 1]
+
+        r = rng.randrange(p)
+        s = rng.randrange(p)
+
+        g_a = pk.vk.alpha_g1 + self.msm(pk.a_query, z) + pk.delta_g1 * r
+        g_b2 = pk.vk.beta_g2 + self.msm(pk.b_g2_query, z) + pk.vk.delta_g2 * s
+        g_b1 = pk.beta_g1 + self.msm(pk.b_g1_query, z) + pk.delta_g1 * s
+
+        c_acc = self.msm(pk.l_query, z[n_inst:])
+        nz = [(pt, co) for pt, co in zip(pk.h_query, h) if co]
+        if nz:
+            c_acc = c_acc + self.msm([a for a, _ in nz], [b for _, b in nz])
+        g_c = c_acc + g_a * s + g_b1 * r - pk.delta_g1 * (r * s % p)
+
+        return Groth16Proof(a=g_a, b=g_b2, c=g_c)
+
+    # ------------------------------------------------------------------
+    def process_vk(self, vk: Groth16VK) -> Groth16PVK:
+        return Groth16PVK(vk=vk, alpha_beta=self.pairing.pairing(vk.alpha_g1, vk.beta_g2))
+
+    def verify_with_processed_vk(self, pvk: Groth16PVK, public_input, proof) -> bool:
+        vk = pvk.vk
+        xs = [1] + [int(x.n if hasattr(x, "n") else x) for x in public_input]
+        if len(xs) != len(vk.gamma_abc):
+            raise SNARKError(
+                f"input length mismatch: {len(xs)} vs {len(vk.gamma_abc)}")
+        acc = self.msm(vk.gamma_abc, xs)
+        lhs = self.pairing.multi_pairing(
+            [(proof.a, proof.b), (-acc, vk.gamma_g2), (-proof.c, vk.delta_g2)])
+        return lhs == pvk.alpha_beta
+
+    def verify(self, vk: Groth16VK, public_input, proof) -> bool:
+        return self.verify_with_processed_vk(self.process_vk(vk), public_input, proof)

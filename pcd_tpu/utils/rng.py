@@ -81,8 +81,12 @@ class ChaChaRng:
     def next_u64(self) -> int:
         return int.from_bytes(self.fill_bytes(8), "little")
 
-    def randrange(self, bound: int) -> int:
-        """Uniform in [0, bound) by rejection on the next power-of-two."""
+    def randrange(self, a: int, b: int | None = None) -> int:
+        """Uniform in [0, a) — or [a, b) when b given — by rejection
+        sampling on the next power-of-two."""
+        if b is not None:
+            return a + self.randrange(b - a)
+        bound = a
         nbytes = (bound.bit_length() + 7) // 8
         mask = (1 << (8 * nbytes)) - 1
         shift = 8 * nbytes - bound.bit_length()
