@@ -1,0 +1,287 @@
+"""EC-cycle PCD construction (replaces reference src/ec_cycle_pcd/ —
+ECCyclePCDConfig + ECCyclePCD + Main/Help/Default circuits).
+
+Construction summary (reference data_structures.rs:85-393):
+  - MainCircuit (over MainField): public input x = H(H(help_vk) || msg);
+    runs the predicate; verifies PRIOR_MSG_LEN prior help-proofs in-circuit
+    against x_prev = H(H(vk) || prior_msg); enforces base_case OR all-verified.
+  - HelpCircuit (over HelpField): verifies ONE main proof against the
+    repacked input hash under a constant processed main-vk.
+  - The PCD proof is just the help proof; the PCD vk is (crh_pp, help_vk)
+    — succinctness by hashing everything else into one field element.
+
+Shape stability: both circuits synthesize identical structure for default
+and real values (the reference's setup path relies on the same property:
+mod.rs:58-68 passes None everywhere).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..gadgets.fp import Boolean, UInt8, fpvar_class
+from ..gadgets.inputs import repacked_len
+from ..r1cs.system import ConstraintSystem
+from ..utils.rng import test_rng
+from .api import PCDError, PCDPredicate
+
+
+# ======================================================================
+@dataclass
+class ECCyclePCDConfig:
+    """The 'plugin board' (reference ec_cycle_pcd/mod.rs:24-33): a CRH over
+    MainField + two SNARKs + their verifier gadgets over the other field."""
+
+    cycle: object          # CycleConfig
+    crh: object            # VariableLengthCRH over cycle.crh_te
+    main_snark: object     # SNARK over cycle.main (circuit field MainField)
+    help_snark: object     # SNARK over cycle.help (circuit field HelpField)
+    main_gadget: object    # verifier gadget for main_snark (runs over HelpField)
+    help_gadget: object    # verifier gadget for help_snark (runs over MainField)
+
+    @property
+    def main_field(self):
+        return self.cycle.main.Fr
+
+    @property
+    def help_field(self):
+        return self.cycle.help.Fr
+
+
+@dataclass
+class ECCyclePCDPK:
+    crh_pp: object
+    main_pk: object
+    main_pvk: object
+    help_pk: object
+    help_vk: object
+
+
+@dataclass
+class ECCyclePCDVK:
+    crh_pp: object
+    help_vk: object
+
+
+# ======================================================================
+class DefaultCircuit:
+    """Dummy circuit minting well-formed placeholder proofs for the base
+    case (reference data_structures.rs:60-83): allocates
+    `public_input_size` public inputs equal to 1 and bit-decomposes them."""
+
+    def __init__(self, public_input_size: int):
+        self.public_input_size = public_input_size
+
+    def generate_constraints(self, cs):
+        V = fpvar_class(cs)
+        for _ in range(self.public_input_size):
+            g = V.new_instance(1)
+            g.to_bits_le()
+
+
+def placeholder_proof(snark, public_input_size: int):
+    """Deterministic (fixed-rng) placeholder (vk, proof) for DefaultCircuit,
+    cached per (snark, size) — the reference recomputes this inside *every*
+    synthesis (data_structures.rs:135-143); we cache since it's
+    deterministic per config."""
+    cache = getattr(snark, "_placeholder_cache", None)
+    if cache is None:
+        cache = {}
+        snark._placeholder_cache = cache
+    if public_input_size not in cache:
+        rng = test_rng()
+        circ = DefaultCircuit(public_input_size)
+        pk, vk = snark.circuit_specific_setup(circ, rng)
+        proof = snark.prove(pk, circ, rng)
+        cache[public_input_size] = (vk, proof)
+    return cache[public_input_size]
+
+
+# ======================================================================
+class MainCircuit:
+    """Reference data_structures.rs:85-311."""
+
+    def __init__(self, ic: ECCyclePCDConfig, predicate: PCDPredicate, crh_pp,
+                 input_hash=None, help_vk=None, msg=None, witness=None,
+                 prior_msgs=(), prior_proofs=(), base_case_bit=None):
+        self.ic = ic
+        self.predicate = predicate
+        self.crh_pp = crh_pp
+        self.input_hash = input_hash
+        self.help_vk = help_vk
+        self.msg = msg
+        self.witness = witness
+        self.prior_msgs = list(prior_msgs)
+        self.prior_proofs = list(prior_proofs)
+        self.base_case_bit = base_case_bit
+
+    def generate_constraints(self, cs: ConstraintSystem):
+        ic, pred = self.ic, self.predicate
+        crh = ic.crh
+        V = fpvar_class(cs)
+        if self.base_case_bit is False:
+            assert len(self.prior_msgs) == pred.PRIOR_MSG_LEN
+            assert len(self.prior_proofs) == pred.PRIOR_MSG_LEN
+
+        # -- allocation (order mirrors the reference) -------------------
+        input_hash = (self.input_hash if self.input_hash is not None
+                      else crh.default_output())
+        input_hash_g = crh.new_output_input(V, input_hash)
+
+        main_public_input = crh.convert_output_to_field_elements(input_hash)
+        n_help_inputs = repacked_len(ic.main_field, ic.help_field,
+                                     len(main_public_input))
+        default_vk, default_proof = placeholder_proof(ic.help_snark,
+                                                      n_help_inputs)
+
+        help_vk = self.help_vk if self.help_vk is not None else default_vk
+        help_vk_g = ic.help_gadget.alloc_vk(cs, help_vk, mode="witness")
+
+        msg = self.msg if self.msg is not None else pred.default_message()
+        msg_g = pred.new_message_var(cs, msg)
+
+        witness = (self.witness if self.witness is not None
+                   else pred.default_witness())
+        witness_g = pred.new_witness_var(cs, witness)
+
+        prior_msg_gs = []
+        prior_proof_gs = []
+        if self.base_case_bit is False:
+            for m in self.prior_msgs:
+                prior_msg_gs.append(pred.new_message_var(cs, m))
+            for pf in self.prior_proofs:
+                prior_proof_gs.append(ic.help_gadget.alloc_proof(cs, pf))
+        else:
+            dm = pred.default_message()
+            for _ in range(pred.PRIOR_MSG_LEN):
+                prior_msg_gs.append(pred.new_message_var(cs, dm))
+            for _ in range(pred.PRIOR_MSG_LEN):
+                prior_proof_gs.append(ic.help_gadget.alloc_proof(cs, default_proof))
+
+        b_base = Boolean.new_witness(V, bool(self.base_case_bit))
+
+        # -- vk hash ----------------------------------------------------
+        help_vk_bytes_g = ic.help_gadget.vk_to_bytes(help_vk_g)
+        vk_hash_g = crh.check_evaluation_gadget(V, self.crh_pp, help_vk_bytes_g)
+        vk_hash_bytes_g = crh.output_var_to_bytes(vk_hash_g)
+
+        # -- input hash check -------------------------------------------
+        msg_bytes_g = pred.message_var_to_bytes(msg_g)
+        committed_input = list(vk_hash_bytes_g) + list(msg_bytes_g)
+        input_hash_supposed = crh.check_evaluation_gadget(V, self.crh_pp,
+                                                          committed_input)
+        crh.output_var_enforce_equal(input_hash_supposed, input_hash_g)
+
+        # -- predicate ---------------------------------------------------
+        pred.generate_constraints(cs, msg_g, witness_g, prior_msg_gs, b_base)
+
+        # -- prior proof verification ------------------------------------
+        all_verified = Boolean.constant(V, True)
+        for pm_g, pp_g in zip(prior_msg_gs, prior_proof_gs):
+            pm_bytes = pred.message_var_to_bytes(pm_g)
+            committed_prior = list(vk_hash_bytes_g) + list(pm_bytes)
+            prior_hash_g = crh.check_evaluation_gadget(V, self.crh_pp,
+                                                       committed_prior)
+            prior_fields = crh.convert_output_to_field_gadgets(prior_hash_g)
+            input_var = ic.help_gadget.input_var_from_field_elements(prior_fields)
+            ok = ic.help_gadget.verify(cs, help_vk_g, input_var, pp_g)
+            all_verified = all_verified & ok
+
+        (b_base | all_verified).enforce_true()
+
+
+class HelpCircuit:
+    """Reference data_structures.rs:314-393."""
+
+    def __init__(self, ic: ECCyclePCDConfig, main_pvk, input_hash=None,
+                 main_proof=None):
+        self.ic = ic
+        self.main_pvk = main_pvk
+        self.input_hash = input_hash
+        self.main_proof = main_proof
+
+    def generate_constraints(self, cs: ConstraintSystem):
+        ic = self.ic
+        crh = ic.crh
+        input_hash = (self.input_hash if self.input_hash is not None
+                      else crh.default_output())
+        hash_fields = crh.convert_output_to_field_elements(input_hash)
+
+        _, default_proof = placeholder_proof(ic.main_snark, len(hash_fields))
+        main_proof = (self.main_proof if self.main_proof is not None
+                      else default_proof)
+
+        input_var = ic.main_gadget.input_var_new_input(cs, hash_fields)
+        pvk_var = ic.main_gadget.alloc_pvk(cs, self.main_pvk)
+        proof_var = ic.main_gadget.alloc_proof(cs, main_proof)
+        ok = ic.main_gadget.verify_with_processed_vk(cs, pvk_var, input_var,
+                                                     proof_var)
+        ok.enforce_true()
+
+
+# ======================================================================
+class ECCyclePCD:
+    """Reference ec_cycle_pcd/mod.rs:35-246."""
+
+    def __init__(self, ic: ECCyclePCDConfig):
+        self.ic = ic
+
+    # -- input hash simulation (reference mod.rs:101-142: computed via the
+    # gadgets on a scratch system so native/gadget byte layouts agree) ----
+    def _input_hash(self, crh_pp, help_vk, predicate, msg):
+        ic = self.ic
+        scratch = ConstraintSystem(ic.main_field)
+        V = fpvar_class(scratch)
+        help_vk_g = ic.help_gadget.alloc_vk(scratch, help_vk, mode="witness")
+        committed_vk = bytes(b.value for b in ic.help_gadget.vk_to_bytes(help_vk_g))
+        vk_hash = ic.crh.evaluate(crh_pp, committed_vk)
+        vk_hash_bytes = ic.crh.output_to_bytes(vk_hash)
+
+        msg_g = predicate.new_message_var(scratch, msg)
+        msg_bytes = bytes(b.value for b in predicate.message_var_to_bytes(msg_g))
+        return ic.crh.evaluate(crh_pp, vk_hash_bytes + msg_bytes)
+
+    # ------------------------------------------------------------------
+    def circuit_specific_setup(self, predicate: PCDPredicate, rng):
+        ic = self.ic
+        crh_pp = ic.crh.setup(rng)
+        main_circuit = MainCircuit(ic, predicate, crh_pp)
+        main_pk, main_vk = ic.main_snark.circuit_specific_setup(main_circuit, rng)
+        main_pvk = ic.main_snark.process_vk(main_vk)
+
+        help_circuit = HelpCircuit(ic, main_pvk)
+        help_pk, help_vk = ic.help_snark.circuit_specific_setup(help_circuit, rng)
+
+        pk = ECCyclePCDPK(crh_pp=crh_pp, main_pk=main_pk, main_pvk=main_pvk,
+                          help_pk=help_pk, help_vk=help_vk)
+        vk = ECCyclePCDVK(crh_pp=crh_pp, help_vk=help_vk)
+        return pk, vk
+
+    # ------------------------------------------------------------------
+    def prove(self, pk: ECCyclePCDPK, predicate: PCDPredicate, msg, witness,
+              prior_msgs, prior_proofs, rng):
+        ic = self.ic
+        if len(prior_msgs) != len(prior_proofs):
+            raise PCDError("prior_msgs/prior_proofs length mismatch")
+        input_hash = self._input_hash(pk.crh_pp, pk.help_vk, predicate, msg)
+
+        base = len(prior_msgs) == 0
+        main_circuit = MainCircuit(
+            ic, predicate, pk.crh_pp, input_hash=input_hash,
+            help_vk=pk.help_vk, msg=msg, witness=witness,
+            prior_msgs=prior_msgs, prior_proofs=prior_proofs,
+            base_case_bit=base)
+        main_proof = ic.main_snark.prove(pk.main_pk, main_circuit, rng)
+
+        help_circuit = HelpCircuit(ic, pk.main_pvk, input_hash=input_hash,
+                                   main_proof=main_proof)
+        help_proof = ic.help_snark.prove(pk.help_pk, help_circuit, rng)
+        return help_proof
+
+    # ------------------------------------------------------------------
+    def verify(self, vk: ECCyclePCDVK, predicate: PCDPredicate, msg, proof):
+        ic = self.ic
+        input_hash = self._input_hash(vk.crh_pp, vk.help_vk, predicate, msg)
+        main_public_input = ic.crh.convert_output_to_field_elements(input_hash)
+        help_public_input = ic.main_gadget.repack_input(main_public_input)
+        return ic.help_snark.verify(vk.help_vk, help_public_input, proof)

@@ -116,9 +116,12 @@ class Groth16VerifierGadget:
         V, _, _ = self._ctx(cs)
         return BooleanInputVar.new_input(V, self.cfg.Fr, values)
 
-    def repack_input(self, cf_host_field, elems):
-        """Native: outer-field elements -> this SNARK's Fr elements."""
-        return repack_native(cf_host_field, self.cfg.Fr, elems)
+    def repack_input(self, elems):
+        """Native: this SNARK's Fr elements -> constraint-field (cfg.Fq)
+        elements, matching `input_var_new_input`'s public-input layout
+        (reference FromFieldElementsGadget::repack_input, used at
+        ec_cycle_pcd/mod.rs:233-237)."""
+        return repack_native(self.cfg.Fr, self.cfg.Fq, elems)
 
     # -- the MSM over public inputs --------------------------------------
     def _input_msm(self, cs, gamma_abc, input_var):
