@@ -1,0 +1,141 @@
+"""Device Pippenger MSM (SURVEY.md D4 — the #1 hot loop of Groth16/GM17
+proving; first-class distributed component).
+
+TPU-native formulation (no fast scatter on TPU -> sort-based buckets):
+  1. scalars -> c-bit window digits (host precompute, cheap numpy).
+  2. per window (lax.scan over the window axis — one compiled body):
+       argsort by digit, gather points, segmented inclusive scan with the
+       complete EC add as combiner (jax.lax.associative_scan), segment ends
+       scattered into buckets, suffix-scan bucket reduction.
+  3. Horner combine across windows (c doublings + add per window).
+
+The complete RCB addition makes every combine branch-free — identity,
+doubling and inverse cases all flow through the same formula, which is what
+lets the whole MSM be one fused XLA program.
+
+Multi-chip: points are sharded over a mesh axis; each chip runs this kernel
+on its shard and partial results are combined with a tree of EC adds after
+an all_gather (pcd_tpu/parallel/msm.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ec_tensor import ECTensorCtx, ec_ctx
+from .limbs import LIMB_BITS
+
+
+class MSMTensorCtx:
+    def __init__(self, curve, scalar_bits: int, c: int = 8):
+        assert LIMB_BITS % c == 0, "window must divide limb size"
+        self.ec: ECTensorCtx = ec_ctx(curve)
+        self.curve = curve
+        self.c = c
+        self.scalar_bits = scalar_bits
+        self.nwin = (scalar_bits + c - 1) // c
+
+    # -- host-side digit extraction -------------------------------------
+    def digits_from_ints(self, scalars) -> np.ndarray:
+        """(nwin, n) uint32 window digits, LSB window first."""
+        n = len(scalars)
+        out = np.zeros((self.nwin, n), dtype=np.uint32)
+        mask = (1 << self.c) - 1
+        for j, s in enumerate(scalars):
+            s = int(s)
+            for w in range(self.nwin):
+                out[w, j] = (s >> (w * self.c)) & mask
+        return out
+
+    # -- device kernel ----------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def msm_digits(self, P, digits):
+        """P: (X, Y, Z) arrays (n, K); digits: (nwin, n) uint32.
+        Returns a single projective point (K,)-limb coords."""
+        ec = self.ec
+        n = digits.shape[1]
+        nbuckets = 1 << self.c
+
+        def window_body(carry, digits_w):
+            order = jnp.argsort(digits_w)
+            d_sorted = digits_w[order]
+            Xs = P[0][order]
+            Ys = P[1][order]
+            Zs = P[2][order]
+            # segment-start flags
+            prev = jnp.concatenate(
+                [jnp.full((1,), 0xFFFFFFFF, dtype=d_sorted.dtype),
+                 d_sorted[:-1]])
+            flags = d_sorted != prev
+
+            def comb(a, b):
+                fa, Xa, Ya, Za = a
+                fb, Xb, Yb, Zb = b
+                added = ec.add((Xa, Ya, Za), (Xb, Yb, Zb))
+                keep_b = fb
+                X = ec.fp.select(keep_b, Xb, added[0])
+                Y = ec.fp.select(keep_b, Yb, added[1])
+                Z = ec.fp.select(keep_b, Zb, added[2])
+                return (fa | fb, X, Y, Z)
+
+            scanned = jax.lax.associative_scan(
+                comb, (flags, Xs, Ys, Zs), axis=0)
+            _, SX, SY, SZ = scanned
+            is_end = jnp.concatenate(
+                [flags[1:], jnp.ones((1,), dtype=jnp.bool_)])
+            # scatter segment sums into buckets (overflow slot for non-ends)
+            idx = jnp.where(is_end, d_sorted, nbuckets)
+            BX, BY, BZ = ec.identity((nbuckets + 1,))
+            BX = BX.at[idx].set(SX)
+            BY = BY.at[idx].set(SY)
+            BZ = BZ.at[idx].set(SZ)
+            # drop bucket 0 (digit 0) and overflow; reverse for suffix scan
+            BX, BY, BZ = (B[1:nbuckets][::-1] for B in (BX, BY, BZ))
+
+            def comb2(a, b):
+                return ec.add(a, b)
+
+            RX, RY, RZ = jax.lax.associative_scan(
+                comb2, (BX, BY, BZ), axis=0)
+            # window sum = sum of all suffix sums
+            TX, TY, TZ = jax.lax.associative_scan(
+                comb2, (RX, RY, RZ), axis=0)
+            wsum = (TX[-1], TY[-1], TZ[-1])
+            return carry, wsum
+
+        _, wsums = jax.lax.scan(window_body, 0, digits)
+
+        # Horner combine from MSB window down
+        def horner(i, acc):
+            w = self.nwin - 1 - i
+
+            def dbl(_, a):
+                return self.ec.double(a)
+
+            acc = jax.lax.fori_loop(0, self.c, dbl, acc)
+            wsum = (wsums[0][w], wsums[1][w], wsums[2][w])
+            return self.ec.add(acc, wsum)
+
+        acc = self.ec.identity(())
+        acc = jax.lax.fori_loop(0, self.nwin, horner, acc)
+        return acc
+
+    # -- convenience host API --------------------------------------------
+    def msm(self, points, scalars):
+        """host points + int scalars -> host point."""
+        assert len(points) == len(scalars) and points
+        X, Y, Z = self.ec.encode_points(points)
+        digits = self.digits_from_ints(scalars)
+        out = self.msm_digits(
+            (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z)),
+            jnp.asarray(digits))
+        return self.ec.decode_point(out)
+
+
+@lru_cache(maxsize=None)
+def msm_ctx(curve, scalar_bits: int, c: int = 8) -> MSMTensorCtx:
+    return MSMTensorCtx(curve, scalar_bits, c)

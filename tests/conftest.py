@@ -3,11 +3,26 @@ import sys
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
 # exercised without TPU hardware (same code path as pod slices).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+#
+# NOTE: the axon TPU plugin on this machine overrides the JAX_PLATFORMS env
+# var at import time, so we must force the platform through jax.config
+# (before any backend is initialized).  XLA_FLAGS still must be set before
+# the CPU client is created.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the limb-arithmetic programs are expensive
+# to compile under XLA-CPU; cache them across test runs
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,123 @@
+"""Device (JAX) limb arithmetic + EC tensor ops vs host oracles.
+
+Runs on CPU with 8 virtual devices (conftest) — identical code path to TPU.
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcd_tpu.curves import models as M
+from pcd_tpu.ops.ec_tensor import ec_ctx
+from pcd_tpu.ops.limbs import ctx_for
+
+rng = random.Random(33)
+
+
+@pytest.mark.parametrize("modulus_name", ["toy", "mnt4q", "mnt4r"])
+def test_mont_mul_add_sub(modulus_name):
+    p = {
+        "toy": M.toy_mnt4().Fq.MODULUS,
+        "mnt4q": M.mnt4_298().Fq.MODULUS,
+        "mnt4r": M.mnt4_298().Fr.MODULUS,
+    }[modulus_name]
+    ctx = ctx_for(p)
+    n = 64
+    xs = [rng.randrange(p) for _ in range(n)]
+    ys = [rng.randrange(p) for _ in range(n)]
+    # include edge values
+    xs[0], ys[0] = 0, 0
+    xs[1], ys[1] = p - 1, p - 1
+    xs[2], ys[2] = 1, p - 1
+    a = jnp.asarray(ctx.encode(xs))
+    b = jnp.asarray(ctx.encode(ys))
+
+    mul = jax.jit(ctx.mont_mul)(a, b)
+    assert ctx.decode(mul) == [x * y % p for x, y in zip(xs, ys)]
+
+    s = jax.jit(ctx.add)(a, b)
+    assert ctx.decode(s) == [(x + y) % p for x, y in zip(xs, ys)]
+
+    d = jax.jit(ctx.sub)(a, b)
+    assert ctx.decode(d) == [(x - y) % p for x, y in zip(xs, ys)]
+
+    ng = jax.jit(ctx.neg)(a)
+    assert ctx.decode(ng) == [(-x) % p for x in xs]
+
+
+def test_mont_roundtrip_and_inv():
+    p = M.mnt4_298().Fr.MODULUS
+    ctx = ctx_for(p)
+    xs = [rng.randrange(1, p) for _ in range(8)]
+    a = jnp.asarray(ctx.encode(xs))
+    inv = jax.jit(ctx.inv_mont)(a)
+    assert ctx.decode(inv) == [pow(x, -1, p) for x in xs]
+    raw = jax.jit(ctx.from_mont)(a)
+    back = jax.jit(ctx.to_mont)(raw)
+    assert ctx.decode(back) == xs
+
+
+@pytest.mark.parametrize("curve_name", ["toy4", "mnt4", "mnt6"])
+def test_ec_add_matches_host(curve_name):
+    cfg = {"toy4": M.toy_mnt4, "mnt4": M.mnt4_298, "mnt6": M.mnt6_298}[curve_name]()
+    ec = ec_ctx(cfg.g1)
+    g = cfg.g1_gen
+    pts_a = [g * rng.randrange(1, 2**30) for _ in range(6)] + [cfg.g1.infinity(), g]
+    pts_b = [g * rng.randrange(1, 2**30) for _ in range(6)] + [g, -g]
+    A = tuple(jnp.asarray(c) for c in ec.encode_points(pts_a))
+    B = tuple(jnp.asarray(c) for c in ec.encode_points(pts_b))
+    S = jax.jit(ec.add)(A, B)
+    for i in range(len(pts_a)):
+        got = ec.decode_point((S[0][i], S[1][i], S[2][i]))
+        assert got == pts_a[i] + pts_b[i], f"row {i}"
+    # doubling through the same path
+    D = jax.jit(ec.double)(A)
+    for i in range(len(pts_a)):
+        got = ec.decode_point((D[0][i], D[1][i], D[2][i]))
+        assert got == pts_a[i].double(), f"dbl row {i}"
+
+
+def test_ec_identity_handling():
+    cfg = M.toy_mnt4()
+    ec = ec_ctx(cfg.g1)
+    I = ec.identity((4,))
+    A = tuple(jnp.asarray(c) for c in ec.encode_points(
+        [cfg.g1_gen * i for i in range(1, 5)]))
+    S = jax.jit(ec.add)(I, A)
+    for i in range(4):
+        assert ec.decode_point((S[0][i], S[1][i], S[2][i])) == cfg.g1_gen * (i + 1)
+    assert bool(jnp.all(ec.is_identity(I)))
+
+
+@pytest.mark.parametrize("curve_name,n", [("toy4", 100), ("mnt4", 50)])
+def test_msm_tensor_matches_host(curve_name, n):
+    from pcd_tpu.msm.host import msm as host_msm
+    from pcd_tpu.ops.msm_tensor import msm_ctx
+
+    cfg = {"toy4": M.toy_mnt4, "mnt4": M.mnt4_298}[curve_name]()
+    r = cfg.g1.order
+    ctx = msm_ctx(cfg.g1, cfg.Fr.BITS)
+    g = cfg.g1_gen
+    pts = [g * rng.randrange(1, r) for _ in range(n)]
+    scalars = [rng.randrange(r) for _ in range(n)]
+    scalars[0] = 0          # zero scalar
+    scalars[1] = r - 1      # max scalar
+    pts[2] = cfg.g1.infinity()  # infinity point in the set
+    want = host_msm(pts, scalars)
+    got = ctx.msm(pts, scalars)
+    assert got == want
+
+
+def test_msm_tensor_all_equal_digits():
+    from pcd_tpu.ops.msm_tensor import msm_ctx
+    from pcd_tpu.msm.host import msm as host_msm
+
+    cfg = M.toy_mnt4()
+    ctx = msm_ctx(cfg.g1, cfg.Fr.BITS)
+    g = cfg.g1_gen
+    pts = [g * (i + 1) for i in range(16)]
+    scalars = [5] * 16  # all in one bucket
+    assert ctx.msm(pts, scalars) == host_msm(pts, scalars)
