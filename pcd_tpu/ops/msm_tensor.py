@@ -76,11 +76,8 @@ class MSMTensorCtx:
                 fa, Xa, Ya, Za = a
                 fb, Xb, Yb, Zb = b
                 added = ec.add((Xa, Ya, Za), (Xb, Yb, Zb))
-                keep_b = fb
-                X = ec.fp.select(keep_b, Xb, added[0])
-                Y = ec.fp.select(keep_b, Yb, added[1])
-                Z = ec.fp.select(keep_b, Zb, added[2])
-                return (fa | fb, X, Y, Z)
+                sel = ec.select(fb, (Xb, Yb, Zb), added)
+                return (fa | fb, sel[0], sel[1], sel[2])
 
             scanned = jax.lax.associative_scan(
                 comb, (flags, Xs, Ys, Zs), axis=0)

@@ -1,0 +1,73 @@
+"""Device-mesh utilities and sharded collective kernels (SURVEY.md §2c —
+the TPU-native replacement for the reference's single-process rayon
+parallelism; reference has no distributed backend at all, Cargo.toml:45).
+
+Parallelism mapping:
+  DP  — MSM point shards across chips, EC tree-reduction after all_gather
+        (collectives ride ICI); independent PCD DAG-node proofs farmed
+        across hosts (pcd_tpu/parallel/farm.py)
+  TP  — (planned) bucket-parallel Pippenger within one MSM
+  PP  — (planned) main-prove(i+1) overlapped with help-prove(i)
+  SP  — witness vectors / constraint rows sharded over chips
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def sharded_msm(msm_ctx, mesh: Mesh, axis: str = "shard"):
+    """Build a jitted sharded-MSM callable: points and digit columns are
+    sharded over `axis`; each chip runs the local Pippenger kernel; partial
+    results are all_gathered and tree-combined with EC adds (replicated
+    output).
+
+    Returns fn((X, Y, Z), digits) -> (X, Y, Z) single point, where inputs
+    have global shapes (n, K) / (nwin, n) and n % n_devices == 0.
+    """
+    ec = msm_ctx.ec
+    ndev = mesh.shape[axis]
+
+    def local(X, Y, Z, digits):
+        part = msm_ctx.msm_digits((X, Y, Z), digits)
+        # gather partials from every chip: (ndev, K)
+        gx = jax.lax.all_gather(part[0], axis)
+        gy = jax.lax.all_gather(part[1], axis)
+        gz = jax.lax.all_gather(part[2], axis)
+
+        def body(i, acc):
+            return ec.add(acc, (gx[i], gy[i], gz[i]))
+
+        return jax.lax.fori_loop(0, ndev, body, ec.identity(()))
+
+    shmapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(None, axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,  # scan carries inside use unvarying inits
+    )
+
+    @jax.jit
+    def run(Pts, digits):
+        return shmapped(Pts[0], Pts[1], Pts[2], digits)
+
+    return run
+
+
+def shard_batch(arr, mesh: Mesh, axis_name: str, dim: int = 0):
+    """Place an array sharded along `dim` over the mesh axis."""
+    spec = [None] * arr.ndim
+    spec[dim] = axis_name
+    return jax.device_put(arr, NamedSharding(mesh, P(*spec)))
