@@ -1,0 +1,283 @@
+"""GM17-family SNARK: square-arithmetic-program (SAP) based,
+simulation-extractable-shaped, with the characteristic two-equation verifier
+(replaces ark-gm17, reference Cargo.toml:40; used at tests/mnt4_gm17.rs:27-30
+and the mixed configs).
+
+Construction (GM17-shaped; design re-derived in the Groth16 tradition —
+the reference's exact CRS cannot be byte-verified here, and interchange-
+ability with Groth16 inside the PCD is what the mixed configs test):
+
+  R1CS -> SAP: each constraint a*b = c becomes two squarings
+      (a+b)^2 = 4c + w,   (a-b)^2 = w        (fresh wire w)
+  plus one squaring row (z_i)^2 = sq_i per instance wire for A-poly
+  independence.  SAP relation: (sum z_i a_i(s))^2 = sum z_i c_i(s) + h Z.
+
+  Secrets (s, alpha, gamma, delta).  With a := sum z_i a_i(s):
+    A = G^{alpha + a + r delta}
+    B = H^{alpha + a + r delta}          (same exponent, enforced by eq. 2)
+    C = G^{[sum_wit z_i (2 alpha a_i + c_i) + h Z
+            + r delta (2 alpha + 2a + r delta)] / delta}
+  Verify:
+    (1) e(A, B) == e(G^alpha, H^alpha)
+                   * e(prod_pub G^{(2 alpha a_i + c_i)/gamma * x_i}, H^gamma)
+                   * e(C, H^delta)
+    (2) e(A, H^gamma) == e(G^gamma, B)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ...msm.host import FixedBaseTable, msm as host_msm
+from ...poly.domain import EvaluationDomain
+from ...r1cs.system import ConstraintSystem
+from ..api import SNARKError
+
+
+@dataclass
+class GM17Proof:
+    a: object  # G1
+    b: object  # G2
+    c: object  # G1
+
+    def clone(self):
+        return GM17Proof(self.a, self.b, self.c)
+
+
+@dataclass
+class GM17VK:
+    alpha_g1: object
+    alpha_g2: object
+    gamma_g1: object
+    gamma_g2: object
+    delta_g2: object
+    query: list  # G1: (2 alpha a_i + c_i)/gamma for instance wires
+
+
+@dataclass
+class GM17PVK:
+    vk: GM17VK
+    alpha_alpha: object  # e(alpha_g1, alpha_g2)
+
+
+@dataclass
+class GM17PK:
+    vk: GM17VK
+    delta_g1: object
+    delta_g2: object
+    a_query: list      # G1 a_i(s) per wire
+    b_query: list      # G2 a_i(s) per wire
+    c_query: list      # G1 (2 alpha a_i + c_i)/delta for witness wires
+    h_query: list      # G1 s^j Z(s)/delta
+    num_instance: int
+    num_vars: int      # R1CS vars (before SAP extension)
+    domain_size: int
+
+
+class GM17:
+    def __init__(self, curve_cfg):
+        self.cfg = curve_cfg
+        self.Fr = curve_cfg.Fr
+        from ...pairing.ate import pairing_for
+
+        self.pairing = pairing_for(curve_cfg)
+        self.msm = host_msm
+
+    # -- R1CS -> SAP ----------------------------------------------------
+    def _sap_rows(self, cs: ConstraintSystem):
+        """Returns (rows, num_sap_vars): rows are (a_lc, c_lc) dicts over
+        column indices [instance..., r1cs witness..., sap extra wires...];
+        values of extra wires are computed and appended to the assignment
+        by _sap_assignment."""
+        p = cs.p
+        n_inst = cs.num_instance
+        n_vars = n_inst + cs.num_witness
+        rows = []
+        extra = 0
+
+        def remap(lc):
+            return {(n_inst + (-v - 1) if v < 0 else v): co % p
+                    for v, co in lc.items()}
+
+        for (a, b, c) in cs.constraints:
+            ra, rb, rc = remap(a), remap(b), remap(c)
+            w_col = n_vars + extra
+            extra += 1
+            # (a+b)^2 = 4c + w
+            apb = dict(ra)
+            for col, co in rb.items():
+                apb[col] = (apb.get(col, 0) + co) % p
+            c4 = {col: 4 * co % p for col, co in rc.items()}
+            c4[w_col] = 1
+            rows.append((apb, c4))
+            # (a-b)^2 = w
+            amb = dict(ra)
+            for col, co in rb.items():
+                amb[col] = (amb.get(col, 0) - co) % p
+            rows.append((amb, {w_col: 1}))
+        # instance independence rows: z_i^2 = sq_i
+        for i in range(n_inst):
+            sq_col = n_vars + extra
+            extra += 1
+            rows.append(({i: 1}, {sq_col: 1}))
+        return rows, n_vars + extra
+
+    def _sap_assignment(self, cs: ConstraintSystem):
+        p = cs.p
+        z = cs.full_assignment()
+        ext = []
+        for (a, b, c) in cs.constraints:
+            av = cs.eval_lc(a)
+            bv = cs.eval_lc(b)
+            ext.append((av - bv) * (av - bv) % p)
+        for i in range(cs.num_instance):
+            ext.append(z[i] * z[i] % p)
+        return z + ext
+
+    def _synthesize(self, circuit) -> ConstraintSystem:
+        cs = ConstraintSystem(self.Fr)
+        circuit.generate_constraints(cs)
+        return cs
+
+    # -- setup ----------------------------------------------------------
+    def circuit_specific_setup(self, circuit, rng):
+        cs = self._synthesize(circuit)
+        p = self.Fr.MODULUS
+        rows, num_sap_vars = self._sap_rows(cs)
+        n_inst = cs.num_instance
+        domain = EvaluationDomain.new(self.Fr, len(rows))
+
+        s = rng.randrange(1, p)
+        alpha = rng.randrange(1, p)
+        gamma = rng.randrange(1, p)
+        delta = rng.randrange(1, p)
+
+        lag = domain.lagrange_coeffs_at(s)
+        a_of = [0] * num_sap_vars
+        c_of = [0] * num_sap_vars
+        for j, (ra, rc) in enumerate(rows):
+            lj = lag[j]
+            if lj == 0:
+                continue
+            for col, co in ra.items():
+                a_of[col] = (a_of[col] + co * lj) % p
+            for col, co in rc.items():
+                c_of[col] = (c_of[col] + co * lj) % p
+
+        zt = domain.vanishing_poly_at(s)
+        gamma_inv = pow(gamma, -1, p)
+        delta_inv = pow(delta, -1, p)
+
+        g1 = self.cfg.g1_gen
+        g2 = self.cfg.g2_gen
+        t1 = FixedBaseTable(g1, self.Fr.BITS, window=8)
+        t2 = FixedBaseTable(g2, self.Fr.BITS, window=8)
+
+        query = [t1.mul((2 * alpha * a_of[i] + c_of[i]) % p * gamma_inv % p)
+                 for i in range(n_inst)]
+        c_query = [t1.mul((2 * alpha * a_of[i] + c_of[i]) % p * delta_inv % p)
+                   for i in range(n_inst, num_sap_vars)]
+        a_query = [t1.mul(a_of[i]) for i in range(num_sap_vars)]
+        b_query = [t2.mul(a_of[i]) for i in range(num_sap_vars)]
+        h_query = []
+        cur = zt * delta_inv % p
+        for _ in range(domain.n - 1):
+            h_query.append(t1.mul(cur))
+            cur = cur * s % p
+
+        vk = GM17VK(
+            alpha_g1=t1.mul(alpha),
+            alpha_g2=t2.mul(alpha),
+            gamma_g1=t1.mul(gamma),
+            gamma_g2=t2.mul(gamma),
+            delta_g2=t2.mul(delta),
+            query=query,
+        )
+        pk = GM17PK(
+            vk=vk,
+            delta_g1=t1.mul(delta),
+            delta_g2=t2.mul(delta),
+            a_query=a_query,
+            b_query=b_query,
+            c_query=c_query,
+            h_query=h_query,
+            num_instance=n_inst,
+            num_vars=n_inst + cs.num_witness,
+            domain_size=domain.n,
+        )
+        return pk, vk
+
+    # -- prove ----------------------------------------------------------
+    def prove(self, pk: GM17PK, circuit, rng):
+        cs = self._synthesize(circuit)
+        p = self.Fr.MODULUS
+        if cs.num_instance + cs.num_witness != pk.num_vars:
+            raise SNARKError("circuit shape mismatch vs proving key")
+        bad = cs.first_unsatisfied()
+        if bad is not None:
+            raise SNARKError(f"unsatisfied constraint {cs.which_is_unsatisfied()}")
+        z = self._sap_assignment(cs)
+        rows, num_sap_vars = self._sap_rows(cs)
+        assert num_sap_vars == len(z)
+        domain = EvaluationDomain(self.Fr, pk.domain_size)
+        n_inst = cs.num_instance
+
+        # h(x) = (A(x)^2 - C(x)) / Z(x) on a coset
+        a_ev = [0] * domain.n
+        c_ev = [0] * domain.n
+        for j, (ra, rc) in enumerate(rows):
+            a_ev[j] = sum(co * z[col] for col, co in ra.items()) % p
+            c_ev[j] = sum(co * z[col] for col, co in rc.items()) % p
+        a_poly = domain.ifft(a_ev)
+        c_poly = domain.ifft(c_ev)
+        a_cos = domain.coset_fft(a_poly)
+        c_cos = domain.coset_fft(c_poly)
+        zh_inv = pow(domain.vanishing_poly_at(domain.coset_shift), -1, p)
+        h_cos = [(a_cos[i] * a_cos[i] - c_cos[i]) % p * zh_inv % p
+                 for i in range(domain.n)]
+        h = domain.coset_ifft(h_cos)[: domain.n - 1]
+
+        r = rng.randrange(p)
+
+        g_a = pk.vk.alpha_g1 + self.msm(pk.a_query, z) + pk.delta_g1 * r
+        g_b = pk.vk.alpha_g2 + self.msm(pk.b_query, z) + pk.delta_g2 * r
+
+        # C = sum_wit z_i (2 alpha a_i + c_i)/delta + h Z/delta
+        #     + r (2 alpha/delta * delta ... ) expanded:
+        #     + r * (2 alpha + 2 a(s)) + r^2 delta   [all as G1 combos]
+        c_acc = self.msm(pk.c_query, z[n_inst:])
+        nz = [(pt, co) for pt, co in zip(pk.h_query, h) if co]
+        if nz:
+            c_acc = c_acc + self.msm([a for a, _ in nz], [b for _, b in nz])
+        # randomizer contribution: r delta (2 alpha + 2 a + r delta)/delta
+        #   = 2r*alpha + 2r*a(s) + r^2*delta
+        a_part = self.msm(pk.a_query, z)  # G^{a(s)}
+        c_acc = c_acc + (pk.vk.alpha_g1 * (2 * r % p)) \
+            + (a_part * (2 * r % p)) + (pk.delta_g1 * (r * r % p))
+        return GM17Proof(a=g_a, b=g_b, c=c_acc)
+
+    # -- verify ----------------------------------------------------------
+    def process_vk(self, vk: GM17VK) -> GM17PVK:
+        return GM17PVK(vk=vk,
+                       alpha_alpha=self.pairing.pairing(vk.alpha_g1, vk.alpha_g2))
+
+    def verify_with_processed_vk(self, pvk: GM17PVK, public_input, proof) -> bool:
+        vk = pvk.vk
+        xs = [1] + [int(x.n if hasattr(x, "n") else x) for x in public_input]
+        if len(xs) != len(vk.query):
+            raise SNARKError("input length mismatch")
+        psi = self.msm(vk.query, xs)
+        eq1 = self.pairing.multi_pairing([
+            (proof.a, proof.b),
+            (-psi, vk.gamma_g2),
+            (-proof.c, vk.delta_g2),
+        ]) == pvk.alpha_alpha
+        eq2 = self.pairing.multi_pairing([
+            (proof.a, vk.gamma_g2),
+            (-vk.gamma_g1, proof.b),
+        ]).is_one()
+        return eq1 and eq2
+
+    def verify(self, vk: GM17VK, public_input, proof) -> bool:
+        return self.verify_with_processed_vk(self.process_vk(vk), public_input,
+                                             proof)
