@@ -64,14 +64,88 @@ class Groth16PK:
 
 
 class Groth16:
-    def __init__(self, curve_cfg):
-        """curve_cfg: MNTCurveConfig — G1/G2/Fr and the pairing."""
+    # circuits above this many R1CS rows use the device (JAX) data plane
+    # for key generation, proving MSMs and FFTs
+    DEVICE_THRESHOLD = 4096
+
+    def __init__(self, curve_cfg, backend: str = "auto"):
+        """curve_cfg: MNTCurveConfig — G1/G2/Fr and the pairing.
+        backend: 'host' | 'device' | 'auto' (size-dispatch)."""
         self.cfg = curve_cfg
         self.Fr = curve_cfg.Fr
+        self.backend = backend
         from ...pairing.ate import pairing_for
 
         self.pairing = pairing_for(curve_cfg)
         self.msm = host_msm
+
+    def _use_device(self, n: int) -> bool:
+        if self.backend == "host":
+            return False
+        if self.backend == "device":
+            return True
+        return n >= self.DEVICE_THRESHOLD
+
+    # -- device helpers --------------------------------------------------
+    def _fb_mul(self, which: str, scalars, as_host: bool = False):
+        """Fixed-base scalar batch on device; `which` in {'g1','g2'}."""
+        import jax.numpy as jnp
+
+        from ...ops.fixed_base import DevicePointVec, fixed_base_device
+
+        curve = self.cfg.g1 if which == "g1" else self.cfg.g2
+        base = self.cfg.g1_gen if which == "g1" else self.cfg.g2_gen
+        fb = fixed_base_device(curve, base, self.Fr.BITS)
+        digits = jnp.asarray(fb.digits_from_ints(scalars))
+        arrays = fb.mul_digits(digits)
+        vec = DevicePointVec(curve, arrays)
+        return vec.to_host() if as_host else vec
+
+    def _msm_any(self, query, scalars):
+        """MSM dispatch: host point list or DevicePointVec."""
+        import numpy as np
+
+        from ...ops.fixed_base import DevicePointVec
+
+        if isinstance(query, DevicePointVec):
+            import jax.numpy as jnp
+
+            from ...ops.msm_tensor import msm_ctx
+
+            mctx = msm_ctx(query.curve, self.Fr.BITS)
+            digits = jnp.asarray(mctx.digits_from_ints(scalars))
+            out = mctx.msm_digits(query.arrays, digits)
+            return mctx.ec.decode_point(tuple(np.asarray(c) for c in out))
+        nz = [(pt, s) for pt, s in zip(query, scalars) if s]
+        if not nz:
+            return query[0].curve.infinity()
+        return self.msm([a for a, _ in nz], [b for _, b in nz])
+
+    def _h_poly(self, domain, a_ev, b_ev, c_ev, device: bool):
+        """h = (A B - C)/Z_H on a coset; host or device FFT pipeline."""
+        p = self.Fr.MODULUS
+        if not device:
+            a_cos = domain.coset_fft(domain.ifft(a_ev))
+            b_cos = domain.coset_fft(domain.ifft(b_ev))
+            c_cos = domain.coset_fft(domain.ifft(c_ev))
+            zh_inv = pow(domain.vanishing_poly_at(domain.coset_shift), -1, p)
+            h_cos = [(a_cos[i] * b_cos[i] - c_cos[i]) % p * zh_inv % p
+                     for i in range(domain.n)]
+            return domain.coset_ifft(h_cos)
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ...ops.fft_tensor import fft_ctx
+
+        fctx = fft_ctx(self.Fr, domain.n)
+        evs = jnp.asarray(np.stack([fctx.encode(v)
+                                    for v in (a_ev, b_ev, c_ev)]))
+        ap = fctx.coset_fft(fctx.ifft(evs))
+        prod = fctx.fp.sub(fctx.fp.mont_mul(ap[0], ap[1]), ap[2])
+        zh_inv = pow(domain.vanishing_poly_at(domain.coset_shift), -1, p)
+        zh = jnp.asarray(fctx.fp.to_mont_host(zh_inv))
+        h_cos = fctx.fp.mont_mul(prod, jnp.broadcast_to(zh, prod.shape))
+        return fctx.decode(fctx.coset_ifft(h_cos))
 
     # ------------------------------------------------------------------
     def _synthesize(self, circuit) -> ConstraintSystem:
@@ -128,36 +202,55 @@ class Groth16:
         gamma_inv = pow(gamma, -1, p)
         delta_inv = pow(delta, -1, p)
 
-        g1 = self.cfg.g1_gen
-        g2 = self.cfg.g2_gen
-        t1 = FixedBaseTable(g1, self.Fr.BITS, window=8)
-        t2 = FixedBaseTable(g2, self.Fr.BITS, window=8)
-
-        gamma_abc = [t1.mul((beta * u[i] + alpha * v[i] + w[i]) % p * gamma_inv % p)
-                     for i in range(n_inst)]
-        l_query = [t1.mul((beta * u[i] + alpha * v[i] + w[i]) % p * delta_inv % p)
-                   for i in range(n_inst, num_vars)]
-        a_query = [t1.mul(u[i]) for i in range(num_vars)]
-        b_g1_query = [t1.mul(v[i]) for i in range(num_vars)]
-        b_g2_query = [t2.mul(v[i]) for i in range(num_vars)]
-        # h_query: tau^i * Z(tau) / delta, i = 0..n-2
-        h_query = []
+        h_scalars = []
         cur = zt * delta_inv % p
         for _ in range(domain.n - 1):
-            h_query.append(t1.mul(cur))
+            h_scalars.append(cur)
             cur = cur * tau % p
 
+        if self._use_device(len(rows)):
+            gamma_abc = self._fb_mul(
+                "g1", [(beta * u[i] + alpha * v[i] + w[i]) % p * gamma_inv % p
+                       for i in range(n_inst)], as_host=True)
+            l_query = self._fb_mul(
+                "g1", [(beta * u[i] + alpha * v[i] + w[i]) % p * delta_inv % p
+                       for i in range(n_inst, num_vars)])
+            a_query = self._fb_mul("g1", u)
+            b_g1_query = self._fb_mul("g1", v)
+            b_g2_query = self._fb_mul("g2", v)
+            h_query = self._fb_mul("g1", h_scalars)
+            small1 = self._fb_mul("g1", [alpha, beta, delta], as_host=True)
+            small2 = self._fb_mul("g2", [beta, gamma, delta], as_host=True)
+            alpha_g1, beta_g1, delta_g1 = small1
+            beta_g2, gamma_g2, delta_g2 = small2
+        else:
+            t1 = FixedBaseTable(self.cfg.g1_gen, self.Fr.BITS, window=8)
+            t2 = FixedBaseTable(self.cfg.g2_gen, self.Fr.BITS, window=8)
+            gamma_abc = [t1.mul((beta * u[i] + alpha * v[i] + w[i]) % p
+                                * gamma_inv % p) for i in range(n_inst)]
+            l_query = [t1.mul((beta * u[i] + alpha * v[i] + w[i]) % p
+                              * delta_inv % p)
+                       for i in range(n_inst, num_vars)]
+            a_query = [t1.mul(u[i]) for i in range(num_vars)]
+            b_g1_query = [t1.mul(v[i]) for i in range(num_vars)]
+            b_g2_query = [t2.mul(v[i]) for i in range(num_vars)]
+            h_query = [t1.mul(s) for s in h_scalars]
+            alpha_g1, beta_g1, delta_g1 = (t1.mul(alpha), t1.mul(beta),
+                                           t1.mul(delta))
+            beta_g2, gamma_g2, delta_g2 = (t2.mul(beta), t2.mul(gamma),
+                                           t2.mul(delta))
+
         vk = Groth16VK(
-            alpha_g1=t1.mul(alpha),
-            beta_g2=t2.mul(beta),
-            gamma_g2=t2.mul(gamma),
-            delta_g2=t2.mul(delta),
+            alpha_g1=alpha_g1,
+            beta_g2=beta_g2,
+            gamma_g2=gamma_g2,
+            delta_g2=delta_g2,
             gamma_abc=gamma_abc,
         )
         pk = Groth16PK(
             vk=vk,
-            beta_g1=t1.mul(beta),
-            delta_g1=t1.mul(delta),
+            beta_g1=beta_g1,
+            delta_g1=delta_g1,
             a_query=a_query,
             b_g1_query=b_g1_query,
             b_g2_query=b_g2_query,
@@ -193,30 +286,30 @@ class Groth16:
             a_ev[j] = sum(co * z[col] for col, co in ra.items()) % p
             b_ev[j] = sum(co * z[col] for col, co in rb.items()) % p
             c_ev[j] = sum(co * z[col] for col, co in rc.items()) % p
-        a_poly = domain.ifft(a_ev)
-        b_poly = domain.ifft(b_ev)
-        c_poly = domain.ifft(c_ev)
-        a_cos = domain.coset_fft(a_poly)
-        b_cos = domain.coset_fft(b_poly)
-        c_cos = domain.coset_fft(c_poly)
-        zh_cos_inv = pow(domain.vanishing_poly_at(domain.coset_shift), -1, p)
-        h_cos = [ (a_cos[i] * b_cos[i] - c_cos[i]) % p * zh_cos_inv % p
-                  for i in range(domain.n)]
-        h = domain.coset_ifft(h_cos)
+        device = self._use_device(len(rows))
+        h = self._h_poly(domain, a_ev, b_ev, c_ev, device)
         # degree of h is n-2; drop the top coefficient (must be ~0)
         h = h[: domain.n - 1]
 
         r = rng.randrange(p)
         s = rng.randrange(p)
 
-        g_a = pk.vk.alpha_g1 + self.msm(pk.a_query, z) + pk.delta_g1 * r
-        g_b2 = pk.vk.beta_g2 + self.msm(pk.b_g2_query, z) + pk.vk.delta_g2 * s
-        g_b1 = pk.beta_g1 + self.msm(pk.b_g1_query, z) + pk.delta_g1 * s
+        g_a = pk.vk.alpha_g1 + self._msm_any(pk.a_query, z) + pk.delta_g1 * r
+        g_b2 = pk.vk.beta_g2 + self._msm_any(pk.b_g2_query, z) \
+            + pk.vk.delta_g2 * s
+        g_b1 = pk.beta_g1 + self._msm_any(pk.b_g1_query, z) + pk.delta_g1 * s
 
-        c_acc = self.msm(pk.l_query, z[n_inst:])
-        nz = [(pt, co) for pt, co in zip(pk.h_query, h) if co]
-        if nz:
-            c_acc = c_acc + self.msm([a for a, _ in nz], [b for _, b in nz])
+        from ...ops.fixed_base import DevicePointVec
+
+        if isinstance(pk.l_query, DevicePointVec):
+            c_acc = self._msm_any(pk.l_query, z[n_inst:])
+            c_acc = c_acc + self._msm_any(pk.h_query, h)
+        else:
+            c_acc = self._msm_any(pk.l_query, z[n_inst:])
+            nz = [(pt, co) for pt, co in zip(pk.h_query, h) if co]
+            if nz:
+                c_acc = c_acc + self.msm([a for a, _ in nz],
+                                         [b for _, b in nz])
         g_c = c_acc + g_a * s + g_b1 * r - pk.delta_g1 * (r * s % p)
 
         return Groth16Proof(a=g_a, b=g_b2, c=g_c)

@@ -1,0 +1,397 @@
+"""Marlin AHP for R1CS (role of ark-marlin's AHP, reference Cargo.toml:41).
+
+Algebraic holographic proof with one lincheck (matrices combined by
+eta challenges) and one matrix sumcheck over the non-zero-entry domain K:
+
+  round 1:  zhat_A, zhat_B, zhat_C (Mz extensions over H), what (witness
+            poly on H over the input subdomain complement), h_0 (rowcheck)
+  round 2:  g_1 (deg < n-1), h_1   — lincheck sumcheck over H
+  round 3:  sigma_3, g_3 (deg < |K|-1), h_3 — matrix sumcheck over K
+
+Verifier identities (checked at random beta_1 / beta_3 via KZG openings):
+  (i)   zhat_A zhat_B - zhat_C = h_0 v_H                     at beta_1
+  (ii)  u_H(alpha,b1) t(b1) - sigma_3 zhat(b1)
+            = h_1(b1) v_H(b1) + b1 g_1(b1)                   at beta_1
+  (iii) h_3 v_K = a - b (X g_3 + sigma_3/|K|)                at beta_3
+  with t = sum eta_M zhat_M,  zhat(X) = xhat(X) + v_Hx(X) what(X),
+  a(X) = sum_M eta_M v_H(alpha) v_H(b1) val_M(X) prod_{N != M} b_N(X),
+  b(X) = prod_M b_M(X),  b_M(X) = (alpha - row_M(X)) (b1 - col_M(X)).
+
+Host-int implementation, field-generic; heavy polynomial products use
+FFT multiplication over smooth domains.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ...poly.domain import EvaluationDomain, batch_inverse, poly_eval
+
+
+def poly_mul_fft(F, a, b):
+    """FFT-based polynomial product (host)."""
+    if not a or not b:
+        return []
+    need = len(a) + len(b) - 1
+    if need <= 64:
+        p = F.MODULUS
+        out = [0] * need
+        for i, ai in enumerate(a):
+            if ai:
+                for j, bj in enumerate(b):
+                    out[i + j] = (out[i + j] + ai * bj) % p
+        return out
+    d = EvaluationDomain.new(F, need)
+    ea = d.fft(list(a) + [0] * (d.n - len(a)))
+    eb = d.fft(list(b) + [0] * (d.n - len(b)))
+    p = F.MODULUS
+    prod = [x * y % p for x, y in zip(ea, eb)]
+    return d.ifft(prod)[:need]
+
+
+def poly_add(p1, p2, p):
+    n = max(len(p1), len(p2))
+    out = [0] * n
+    for i, c in enumerate(p1):
+        out[i] = c
+    for i, c in enumerate(p2):
+        out[i] = (out[i] + c) % p
+    return out
+
+
+def poly_scale(p1, k, p):
+    return [c * k % p for c in p1]
+
+
+def divide_by_vanishing(coeffs, n, p):
+    """Divide by X^n - 1; returns (quotient, remainder)."""
+    rem = list(coeffs)
+    q = [0] * max(len(coeffs) - n, 0)
+    for i in range(len(rem) - 1, n - 1, -1):
+        c = rem[i]
+        if c:
+            q[i - n] = c
+            rem[i] = 0
+            rem[i - n] = (rem[i - n] + c) % p
+    return q, rem[:n]
+
+
+@dataclass
+class MatrixArith:
+    """Index polynomials of one sparse matrix over K."""
+
+    row: list   # coeffs over K (evals are H-elements)
+    col: list
+    val: list
+    row_evals: list
+    col_evals: list
+    val_evals: list
+
+
+@dataclass
+class AHPIndex:
+    n: int               # H size
+    k_size: int          # K size
+    input_size: int      # |H_x| (smooth divisor of n >= num_instance)
+    num_instance: int
+    num_vars: int
+    col_map: list        # variable index -> H position (instances occupy
+                         # the H_x subgroup positions j*(n/|H_x|))
+    mats: dict           # 'A'/'B'/'C' -> MatrixArith
+    rows_cols_vals: dict  # remapped sparse entries per matrix
+
+
+class AHP:
+    def __init__(self, F):
+        self.F = F
+        self.p = F.MODULUS
+
+    # -- indexer ---------------------------------------------------------
+    def index(self, cs_rows, num_instance: int, num_vars: int) -> AHPIndex:
+        """cs_rows: list of (a_lc, b_lc, c_lc) dicts in column space
+        (instance-first).  Builds square matrices over H and index polys
+        over K."""
+        p = self.p
+        from ...poly.domain import _smooth_divisors
+
+        # choose H and the input subdomain H_x together: H_x positions hold
+        # ONLY instances (unused H_x slots must stay zero so xhat matches),
+        # so we need n - hx >= num_witness
+        n_needed = max(len(cs_rows), num_vars)
+        H = EvaluationDomain.new(self.F, n_needed)
+        while True:
+            n = H.n
+            hx = None
+            for d in _smooth_divisors(self.p - 1):
+                if d >= num_instance and n % d == 0:
+                    hx = d
+                    break
+            if hx is not None and n - hx >= num_vars - num_instance:
+                break
+            H = EvaluationDomain.new(self.F, n + 1)
+
+        Hel = list(H.elements())
+        stride = n // hx
+        input_positions = [j * stride for j in range(num_instance)]
+        hx_set = set(j * stride for j in range(hx))
+        free = [i for i in range(n) if i not in hx_set]
+        col_map = input_positions + free[: num_vars - num_instance]
+        assert len(col_map) == num_vars
+
+        ninv = pow(n, -1, p)
+        mats = {}
+        raw = {}
+        nnz_max = 1
+        entries_per = {}
+        for mi, name in enumerate("ABC"):
+            entries = []
+            for r, row in enumerate(cs_rows):
+                for cidx, v in row[mi].items():
+                    if v % p:
+                        entries.append((r, col_map[cidx], v % p))
+            entries_per[name] = entries
+            nnz_max = max(nnz_max, len(entries))
+        K = EvaluationDomain.new(self.F, nnz_max)
+        for name in "ABC":
+            entries = entries_per[name]
+            entries = entries + [(0, 0, 0)] * (K.n - len(entries))
+            row_e = [Hel[r] for (r, _, _) in entries]
+            col_e = [Hel[c] for (_, c, _) in entries]
+            # normalized value: val * col_elem / n  (Lagrange-at-beta factor,
+            # so that sigma_3 = r(alpha, beta_1) exactly)
+            val_e = [v * Hel[c] % p * ninv % p for (_, c, v) in entries]
+            mats[name] = MatrixArith(
+                row=K.ifft(row_e), col=K.ifft(col_e), val=K.ifft(val_e),
+                row_evals=row_e, col_evals=col_e, val_evals=val_e)
+            raw[name] = entries
+        return AHPIndex(n=n, k_size=K.n, input_size=hx,
+                        num_instance=num_instance, num_vars=num_vars,
+                        col_map=col_map, mats=mats, rows_cols_vals=raw)
+
+    # -- helpers ---------------------------------------------------------
+    def domain(self, size):
+        return EvaluationDomain(self.F, size)
+
+    def x_poly(self, index: AHPIndex, public_input):
+        """Interpolation of padded public input over H_x (subgroup)."""
+        p = self.p
+        Hx = self.domain(index.input_size)
+        vals = [int(x) % p for x in public_input]
+        vals += [0] * (Hx.n - len(vals))
+        return Hx.ifft(vals)
+
+    def z_on_H(self, index: AHPIndex, z):
+        """Place the assignment on H according to col_map."""
+        p = self.p
+        out = [0] * index.n
+        for i, v in enumerate(z):
+            out[index.col_map[i]] = int(v) % p
+        return out
+
+    def z_poly_parts(self, index: AHPIndex, z):
+        """Returns (xhat coeffs, what coeffs) with
+        zhat(X) = xhat(X) + v_Hx(X) * what(X); what = (zhat_full - xhat)/v_Hx."""
+        p = self.p
+        H = self.domain(index.n)
+        zfull = self.z_on_H(index, z)
+        z_coeffs = H.ifft(zfull)
+        xhat = self.x_poly(index, z[: index.num_instance])
+        diff = poly_add(z_coeffs, poly_scale(xhat, p - 1, p), p)
+        # divide by v_Hx = X^hx - 1
+        q, rem = divide_by_vanishing(diff, index.input_size, p)
+        assert all(c == 0 for c in rem), "input inconsistency in z"
+        return xhat, q
+
+    def u_H(self, alpha, beta, n):
+        """u_H(alpha, beta) for alpha not in H:
+        (v_H(alpha) - v_H(beta)) / (alpha - beta)."""
+        p = self.p
+        va = (pow(alpha, n, p) - 1) % p
+        vb = (pow(beta, n, p) - 1) % p
+        return (va - vb) * pow((alpha - beta) % p, -1, p) % p
+
+    def u_H_poly(self, alpha, n):
+        """u_H(alpha, X) as coefficients: sum_{i<n} alpha^{n-1-i} X^i
+        (since (alpha^n - X^n)/(alpha - X) for X^n excluded... exact:
+        (v_H(alpha) - v_H(X))/(alpha - X) = sum_{i=0}^{n-1} alpha^{n-1-i} X^i)."""
+        p = self.p
+        out = [0] * n
+        cur = 1
+        for i in range(n - 1, -1, -1):
+            out[i] = cur
+            cur = cur * alpha % p
+        return out
+
+    # -- prover ----------------------------------------------------------
+    def prover_round1(self, index: AHPIndex, cs_rows, z):
+        """Returns dict of polynomials: zhat_A/B/C, what, h_0."""
+        p = self.p
+        H = self.domain(index.n)
+        zvals = [int(v) % p for v in z]
+        evs = {}
+        for mi, name in enumerate("ABC"):
+            mz = [0] * index.n
+            for r, row in enumerate(cs_rows):
+                mz[r] = sum(co * zvals[c] for c, co in row[mi].items()) % p
+            evs[name] = mz
+        zh = {name: H.ifft(evs[name]) for name in "ABC"}
+        xhat, what = self.z_poly_parts(index, z)
+        # rowcheck: zhat_A zhat_B - zhat_C = h_0 v_H
+        prod = poly_mul_fft(self.F, zh["A"], zh["B"])
+        num = poly_add(prod, poly_scale(zh["C"], p - 1, p), p)
+        h0, rem = divide_by_vanishing(num, index.n, p)
+        assert all(c == 0 for c in rem), "rowcheck failed (unsatisfied R1CS)"
+        return dict(zhat_A=zh["A"], zhat_B=zh["B"], zhat_C=zh["C"],
+                    what=what, h_0=h0, _xhat=xhat)
+
+    def prover_round2(self, index: AHPIndex, polys, alpha, etas):
+        """Lincheck sumcheck: returns (g_1, h_1)."""
+        p = self.p
+        n = index.n
+        # t = sum eta_M zhat_M
+        t = [0]
+        for name in "ABC":
+            t = poly_add(t, poly_scale(polys[f"zhat_{name}"], etas[name], p), p)
+        uh = self.u_H_poly(alpha, n)
+        q1 = poly_mul_fft(self.F, uh, t)
+        # r(alpha, X) = sum_M eta_M sum_k u_H(alpha,row_k) val_k L_{col_k}(X)
+        # evaluate r(alpha, .) on H directly from sparse entries
+        r_evals = [0] * n
+        H = self.domain(n)
+        Hel = list(H.elements())
+        va = (pow(alpha, n, p) - 1) % p
+        # u_H(alpha, y) for y in H = v_H(alpha)/(n... careful:
+        # u_H(alpha,y) = v_H(alpha)/(alpha - y) since v_H(y)=0... times?
+        # (v_H(alpha) - 0)/(alpha - y)
+        dens = [(alpha - y) % p for y in Hel]
+        inv_dens = batch_inverse(dens, p)
+        u_alpha = [va * iv % p for iv in inv_dens]
+        el_index = {y: i for i, y in enumerate(Hel)}
+        for name in "ABC":
+            eta = etas[name]
+            for (r, c, v) in index.rows_cols_vals[name]:
+                if v:
+                    r_evals[c] = (r_evals[c] + eta * v % p * u_alpha[r]) % p
+        # zhat evals on H = z (by construction)
+        zhat_evals = None
+        # q1 -= r(alpha,X) * zhat(X): compute r*zhat in evaluation form on a
+        # larger domain
+        r_coeffs = H.ifft(r_evals)
+        zhat = poly_add(polys["_xhat"],
+                        poly_mul_fft(self.F,
+                                     [p - 1] + [0] * (index.input_size - 1) + [1],
+                                     polys["what"]), p)
+        rz = poly_mul_fft(self.F, r_coeffs, zhat)
+        q1 = poly_add(q1, poly_scale(rz, p - 1, p), p)
+        # sumcheck decomposition: q1 = h_1 v_H + X g_1 (+ sigma/n, sigma=0)
+        h1, rem = divide_by_vanishing(q1, n, p)
+        assert rem[0] == 0, "lincheck sum not zero"
+        g1 = rem[1:]
+        return g1, h1, zhat
+
+    def prover_round3(self, index: AHPIndex, alpha, beta1, etas):
+        """Matrix sumcheck over K: returns (sigma_3, g_3, h_3)."""
+        p = self.p
+        K = self.domain(index.k_size)
+        n = index.n
+        va = (pow(alpha, n, p) - 1) % p
+        vb = (pow(beta1, n, p) - 1) % p
+        # evals over K of a_M, b_M
+        Kel = list(K.elements())
+        b_evals = {}
+        a_evals = {}
+        for name in "ABC":
+            m = index.mats[name]
+            bl = [(alpha - m.row_evals[i]) * (beta1 - m.col_evals[i]) % p
+                  for i in range(K.n)]
+            b_evals[name] = bl
+            a_evals[name] = [etas[name] * va % p * vb % p * m.val_evals[i] % p
+                             for i in range(K.n)]
+        # f_3 evals (rational) and sigma_3
+        b_abc = [b_evals["A"][i] * b_evals["B"][i] % p * b_evals["C"][i] % p
+                 for i in range(K.n)]
+        binv = batch_inverse(b_abc, p)
+        f3 = []
+        for i in range(K.n):
+            acc = 0
+            acc += a_evals["A"][i] * b_evals["B"][i] % p * b_evals["C"][i]
+            acc += a_evals["B"][i] * b_evals["A"][i] % p * b_evals["C"][i]
+            acc += a_evals["C"][i] * b_evals["A"][i] % p * b_evals["B"][i]
+            f3.append(acc % p * binv[i] % p)
+        sigma3 = sum(f3) % p
+        # g_3 from f3: f3 = X g_3 + sigma_3/|K| over K
+        f3_coeffs = K.ifft(f3)
+        assert f3_coeffs[0] == sigma3 * pow(K.n, -1, p) % p
+        g3 = f3_coeffs[1:]
+        # h_3: a(X) - b(X) (X g_3 + sigma_3/|K|) = h_3 v_K
+        # product-form polynomials (the verifier re-evaluates b_M(beta_3) as
+        # (alpha - row(beta_3))(beta_1 - col(beta_3)) — NOT K-interpolations)
+        a_polys = {}
+        b_polys = {}
+        for name in "ABC":
+            m = index.mats[name]
+            am = poly_scale(m.val, etas[name] * va % p * vb % p, p)
+            a_polys[name] = am
+            neg_row = poly_scale(m.row, p - 1, p)
+            neg_col = poly_scale(m.col, p - 1, p)
+            t1 = poly_add([alpha % p], neg_row, p)
+            t2 = poly_add([beta1 % p], neg_col, p)
+            b_polys[name] = poly_mul_fft(self.F, t1, t2)
+        bABC = poly_mul_fft(self.F, poly_mul_fft(self.F, b_polys["A"],
+                                                 b_polys["B"]), b_polys["C"])
+        a_total = [0]
+        for name, others in (("A", ("B", "C")), ("B", ("A", "C")),
+                             ("C", ("A", "B"))):
+            term = poly_mul_fft(self.F, a_polys[name], b_polys[others[0]])
+            term = poly_mul_fft(self.F, term, b_polys[others[1]])
+            a_total = poly_add(a_total, term, p)
+        xg3 = [0] + list(g3)
+        xg3[0] = (xg3[0] + sigma3 * pow(K.n, -1, p)) % p
+        rhs = poly_mul_fft(self.F, bABC, xg3)
+        num = poly_add(a_total, poly_scale(rhs, p - 1, p), p)
+        h3, rem = divide_by_vanishing(num, K.n, p)
+        assert all(c == 0 for c in rem), "matrix sumcheck division failed"
+        return sigma3, g3, h3
+
+    # -- verifier equation checks (on opened values) ----------------------
+    def check_identities(self, index: AHPIndex, public_input, alpha, etas,
+                         beta1, beta3, sigma3, ev):
+        """ev: dict of polynomial evaluations:
+          at beta1: zhat_A, zhat_B, zhat_C, what, h_0, g_1, h_1
+          at beta3: row/col/val per matrix, g_3, h_3
+        Returns bool."""
+        p = self.p
+        n = index.n
+        vH_b1 = (pow(beta1, n, p) - 1) % p
+        # (i) rowcheck
+        if (ev["zhat_A"] * ev["zhat_B"] - ev["zhat_C"] - ev["h_0"] * vH_b1) % p:
+            return False
+        # reconstruct zhat(beta1)
+        xhat = self.x_poly(index, public_input)
+        x_b1 = poly_eval(xhat, beta1, p)
+        v_hx_b1 = (pow(beta1, index.input_size, p) - 1) % p
+        zhat_b1 = (x_b1 + v_hx_b1 * ev["what"]) % p
+        # (ii) lincheck
+        t_b1 = sum(etas[nm] * ev[f"zhat_{nm}"] for nm in "ABC") % p
+        uh = self.u_H(alpha, beta1, n)
+        lhs = (uh * t_b1 - sigma3 * zhat_b1) % p
+        rhs = (ev["h_1"] * vH_b1 + beta1 * ev["g_1"]) % p
+        if (lhs - rhs) % p:
+            return False
+        # (iii) matrix sumcheck at beta3
+        va = (pow(alpha, n, p) - 1) % p
+        vb = (pow(beta1, n, p) - 1) % p
+        bm = {}
+        am = {}
+        for nm in "ABC":
+            bm[nm] = (alpha - ev[f"row_{nm}"]) * (beta1 - ev[f"col_{nm}"]) % p
+            am[nm] = etas[nm] * va % p * vb % p * ev[f"val_{nm}"] % p
+        a_b3 = (am["A"] * bm["B"] % p * bm["C"] +
+                am["B"] * bm["A"] % p * bm["C"] +
+                am["C"] * bm["A"] % p * bm["B"]) % p
+        b_b3 = bm["A"] * bm["B"] % p * bm["C"] % p
+        vK_b3 = (pow(beta3, index.k_size, p) - 1) % p
+        lhs3 = ev["h_3"] * vK_b3 % p
+        rhs3 = (a_b3 - b_b3 * ((beta3 * ev["g_3"] +
+                                sigma3 * pow(index.k_size, -1, p)) % p)) % p
+        return (lhs3 - rhs3) % p == 0

