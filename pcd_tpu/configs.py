@@ -94,3 +94,29 @@ def mnt4_mix_groth16_gm17() -> ECCyclePCD:
 def mnt4_mix_gm17_groth16() -> ECCyclePCD:
     """Reference tests/mnt4_mix_gm17groth16.rs:24-32."""
     return ECCyclePCD(_gm17_config(M.mnt_cycle(), "gm17", "groth16"))
+
+
+def _marlin_config(cycle) -> ECCyclePCDConfig:
+    from .snark.marlin.gadget import MarlinVerifierGadget
+    from .snark.marlin.native import MarlinSNARK
+
+    return ECCyclePCDConfig(
+        cycle=cycle,
+        crh=BoweHopwoodCRH(cycle.crh_te),
+        main_snark=MarlinSNARK(cycle.main),
+        help_snark=MarlinSNARK(cycle.help),
+        main_gadget=MarlinVerifierGadget(cycle.main),
+        help_gadget=MarlinVerifierGadget(cycle.help),
+    )
+
+
+@lru_cache(maxsize=None)
+def toy_marlin() -> ECCyclePCD:
+    return ECCyclePCD(_marlin_config(M.toy_cycle()))
+
+
+@lru_cache(maxsize=None)
+def mnt4_marlin() -> ECCyclePCD:
+    """Reference PCDMarlin (tests/mnt4_marlin.rs:68-94): Marlin+KZG10 on
+    both sides of the cycle, Poseidon Fiat-Shamir, universal setup."""
+    return ECCyclePCD(_marlin_config(M.mnt_cycle()))

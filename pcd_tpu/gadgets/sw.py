@@ -227,3 +227,97 @@ def sym_eq_boolean(fpcls, a, b):
         fpcls.CS.enforce(d._as_lc(), inv_hint._as_lc(), one_minus._as_lc())
         acc = acc & e
     return acc
+
+
+def _host_mirror(E_sym):
+    """Host-int tower class structurally identical to a symbolic tower class
+    (same degrees and NR values) — used to compute witness hints."""
+    from ..fields.prime import make_prime_field
+    from ..fields.tower import make_ext_field
+
+    if not hasattr(E_sym, "DEGREE") or E_sym.DEGREE == 1 or not hasattr(E_sym, "BASE"):
+        return make_prime_field(E_sym.MODULUS, f"mirror_{E_sym.MODULUS % 99991}")
+    base_host = _host_mirror(E_sym.BASE)
+    nr = E_sym.NR
+    nr_vals = tuple(c.val for c in _leaves(nr)) if hasattr(nr, "c") else (nr.val,)
+    key = nr_vals if len(nr_vals) > 1 else nr_vals[0]
+    return make_ext_field(base_host, E_sym.DEGREE, key,
+                          f"mirror_{E_sym.NAME}")
+
+
+def _leaves(e):
+    if hasattr(e, "c"):
+        out = []
+        for c in e.c:
+            out.extend(_leaves(c))
+        return out
+    return [e]
+
+
+def _sym_to_host(e, H):
+    if hasattr(e, "c"):
+        prime = H.prime_subfield()
+        return H.from_prime_coeffs([prime.from_int(x.val) for x in _leaves(e)])
+    return H.from_int(e.val)
+
+
+def _host_to_sym_witness(fpcls, E_sym, h):
+    if hasattr(h, "c") and hasattr(E_sym, "from_prime_coeffs"):
+        vals = [c.n for c in h.to_prime_coeffs()]
+        # rebuild nested structure by allocating witnesses leaf-wise
+        def build(E, vals):
+            if not hasattr(E, "BASE") or E.DEGREE == 1:
+                return fpcls.new_witness(vals.pop(0)), vals
+            coeffs = []
+            for _ in range(E.DEGREE):
+                c, vals = build(E.BASE, vals)
+                coeffs.append(c)
+            return E(coeffs), vals
+        out, rest = build(E_sym, list(vals))
+        assert not rest
+        return out
+    return fpcls.new_witness(h.n)
+
+
+def _scale_tree(e, fp_scalar):
+    if hasattr(e, "c"):
+        return type(e)([_scale_tree(c, fp_scalar) for c in e.c])
+    return e * fp_scalar
+
+
+def _inv_with_guard(fpcls, e, is_zero_bool):
+    """Witness w enforced by  e * w == (1 - b) * 1, identical constraint
+    structure whether e is zero or not (shape stability!); w is the true
+    inverse when e != 0 and unconstrained-but-guarded otherwise."""
+    if hasattr(e, "c"):
+        E_sym = type(e)
+        H = _host_mirror(E_sym)
+        hv = _sym_to_host(e, H)
+        hint = H.zero() if hv.is_zero() else hv.inv()
+        w = _host_to_sym_witness(fpcls, E_sym, hint)
+        _enforce_sym_eq(e * w, _scale_tree(E_sym.one(),
+                                           fpcls.one() - is_zero_bool.fp))
+        return w
+    val = 0 if e.val == 0 else pow(e.val, -1, fpcls.MODULUS)
+    w = fpcls.new_witness(val)
+    fpcls.CS.enforce(e._as_lc(), w._as_lc(),
+                     (fpcls.one() - is_zero_bool.fp)._as_lc())
+    return w
+
+
+def safe_affine(fpcls, proj, fallback_pt, lift_const):
+    """Projective -> affine tolerating the identity (and any Z = 0 input):
+    returns (AffinePointVar, is_degenerate_boolean).  When Z == 0 the
+    fallback host point's coordinates are substituted so downstream pairing
+    math stays well-defined; callers fold the Boolean into their verdict."""
+    Z = proj.Z
+    zero = type(Z).zero() if hasattr(Z, "c") else fpcls.zero()
+    is_id = sym_eq_boolean(fpcls, Z, zero)
+    w = _inv_with_guard(fpcls, Z, is_id)
+    x = proj.X * w
+    y = proj.Y * w
+    fx = lift_const(fallback_pt.x)
+    fy = lift_const(fallback_pt.y)
+    x = is_id.select(fx, x)
+    y = is_id.select(fy, y)
+    return AffinePointVar(proj.curve, x, y), is_id

@@ -68,10 +68,20 @@ class FixedBaseDevice:
         acc = ec.identity((n,))
         return jax.lax.fori_loop(0, self.nwin, body, acc)
 
+    def mul_digits_padded(self, digits):
+        n = digits.shape[1]
+        m = 1
+        while m < n:
+            m *= 2
+        if m != n:
+            digits = jnp.pad(digits, [(0, 0), (0, m - n)])
+        out = self.mul_digits(digits)
+        return tuple(c[:n] for c in out)
+
     def mul_many(self, scalars):
         """host ints -> host affine points (batch)."""
         digits = jnp.asarray(self.digits_from_ints(scalars))
-        X, Y, Z = self.mul_digits(digits)
+        X, Y, Z = self.mul_digits_padded(digits)
         Xn, Yn, Zn = np.asarray(X), np.asarray(Y), np.asarray(Z)
         return [self.ec.decode_point((Xn[i], Yn[i], Zn[i]))
                 for i in range(len(scalars))]

@@ -121,13 +121,30 @@ class MSMTensorCtx:
         acc = jax.lax.fori_loop(0, self.nwin, horner, acc)
         return acc
 
+    def msm_digits_padded(self, P, digits):
+        """Pad the point count to the next power of two (zero digits for the
+        padding, so it lands in the dropped zero bucket) — collapses the
+        number of distinct compiled shapes."""
+        import jax.numpy as jnp
+
+        n = digits.shape[1]
+        m = 1
+        while m < n:
+            m *= 2
+        if m == n:
+            return self.msm_digits(P, digits)
+        padP = tuple(jnp.pad(c, [(0, m - n)] + [(0, 0)] * (c.ndim - 1))
+                     for c in P)
+        padd = jnp.pad(digits, [(0, 0), (0, m - n)])
+        return self.msm_digits(padP, padd)
+
     # -- convenience host API --------------------------------------------
     def msm(self, points, scalars):
         """host points + int scalars -> host point."""
         assert len(points) == len(scalars) and points
         X, Y, Z = self.ec.encode_points(points)
         digits = self.digits_from_ints(scalars)
-        out = self.msm_digits(
+        out = self.msm_digits_padded(
             (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z)),
             jnp.asarray(digits))
         return self.ec.decode_point(out)

@@ -103,7 +103,8 @@ class MainCircuit:
 
     def __init__(self, ic: ECCyclePCDConfig, predicate: PCDPredicate, crh_pp,
                  input_hash=None, help_vk=None, msg=None, witness=None,
-                 prior_msgs=(), prior_proofs=(), base_case_bit=None):
+                 prior_msgs=(), prior_proofs=(), base_case_bit=None,
+                 help_vk_shape=None):
         self.ic = ic
         self.predicate = predicate
         self.crh_pp = crh_pp
@@ -114,6 +115,10 @@ class MainCircuit:
         self.prior_msgs = list(prior_msgs)
         self.prior_proofs = list(prior_proofs)
         self.base_case_bit = base_case_bit
+        # optional structural hint: shape-sensitive help-SNARK gadgets
+        # (Marlin: domain sizes are structural) get the real vk's shape in
+        # setup mode so synthesis matches prove-time structure
+        self.help_vk_shape = help_vk_shape
 
     def generate_constraints(self, cs: ConstraintSystem):
         ic, pred = self.ic, self.predicate
@@ -135,6 +140,9 @@ class MainCircuit:
                                                       n_help_inputs)
 
         help_vk = self.help_vk if self.help_vk is not None else default_vk
+        if self.help_vk is None and self.help_vk_shape is not None \
+                and hasattr(ic.help_gadget, "reshape_vk"):
+            help_vk = ic.help_gadget.reshape_vk(default_vk, self.help_vk_shape)
         help_vk_g = ic.help_gadget.alloc_vk(cs, help_vk, mode="witness")
 
         msg = self.msg if self.msg is not None else pred.default_message()
@@ -245,16 +253,36 @@ class ECCyclePCD:
     def circuit_specific_setup(self, predicate: PCDPredicate, rng):
         ic = self.ic
         crh_pp = ic.crh.setup(rng)
-        main_circuit = MainCircuit(ic, predicate, crh_pp)
-        main_pk, main_vk = ic.main_snark.circuit_specific_setup(main_circuit, rng)
-        main_pvk = ic.main_snark.process_vk(main_vk)
+        shape_fn = getattr(ic.help_gadget, "vk_shape", None)
+        shape = None
+        for _ in range(4):
+            main_circuit = MainCircuit(ic, predicate, crh_pp,
+                                       help_vk_shape=shape)
+            main_pk, main_vk = ic.main_snark.circuit_specific_setup(
+                main_circuit, rng)
+            main_pvk = ic.main_snark.process_vk(main_vk)
 
-        help_circuit = HelpCircuit(ic, main_pvk)
-        help_pk, help_vk = ic.help_snark.circuit_specific_setup(help_circuit, rng)
+            help_circuit = HelpCircuit(ic, main_pvk)
+            help_pk, help_vk = ic.help_snark.circuit_specific_setup(
+                help_circuit, rng)
+            if shape_fn is None:
+                break
+            real_shape = shape_fn(help_vk)
+            if real_shape == shape:
+                break
+            # shape-sensitive gadget (Marlin): re-run setup with the real
+            # help-vk shape so MainCircuit structure matches prove time
+            # (the reference resolves the same circular dependency with its
+            # universal-setup retry loop, ec_cycle_pcd/mod.rs:345-470)
+            shape = real_shape
+        else:
+            raise PCDError("help-vk shape fixed point did not converge")
 
         pk = ECCyclePCDPK(crh_pp=crh_pp, main_pk=main_pk, main_pvk=main_pvk,
                           help_pk=help_pk, help_vk=help_vk)
         vk = ECCyclePCDVK(crh_pp=crh_pp, help_vk=help_vk)
+        pk.help_vk_shape = shape
+        vk.help_vk_shape = shape
         return pk, vk
 
     # ------------------------------------------------------------------

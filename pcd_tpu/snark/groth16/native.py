@@ -66,7 +66,7 @@ class Groth16PK:
 class Groth16:
     # circuits above this many R1CS rows use the device (JAX) data plane
     # for key generation, proving MSMs and FFTs
-    DEVICE_THRESHOLD = 4096
+    DEVICE_THRESHOLD = 60000
 
     def __init__(self, curve_cfg, backend: str = "auto"):
         """curve_cfg: MNTCurveConfig — G1/G2/Fr and the pairing.
@@ -97,7 +97,7 @@ class Groth16:
         base = self.cfg.g1_gen if which == "g1" else self.cfg.g2_gen
         fb = fixed_base_device(curve, base, self.Fr.BITS)
         digits = jnp.asarray(fb.digits_from_ints(scalars))
-        arrays = fb.mul_digits(digits)
+        arrays = fb.mul_digits_padded(digits)
         vec = DevicePointVec(curve, arrays)
         return vec.to_host() if as_host else vec
 
@@ -114,7 +114,7 @@ class Groth16:
 
             mctx = msm_ctx(query.curve, self.Fr.BITS)
             digits = jnp.asarray(mctx.digits_from_ints(scalars))
-            out = mctx.msm_digits(query.arrays, digits)
+            out = mctx.msm_digits_padded(query.arrays, digits)
             return mctx.ec.decode_point(tuple(np.asarray(c) for c in out))
         nz = [(pt, s) for pt, s in zip(query, scalars) if s]
         if not nz:

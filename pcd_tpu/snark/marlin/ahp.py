@@ -290,68 +290,52 @@ class AHP:
         return g1, h1, zhat
 
     def prover_round3(self, index: AHPIndex, alpha, beta1, etas):
-        """Matrix sumcheck over K: returns (sigma_3, g_3, h_3)."""
+        """Per-matrix sumchecks over K (the Marlin-style split keeps the
+        committed degrees at ~3|K| instead of ~7|K|).
+
+        For each M:  sigma_M = sum_K a_M(k)/b_M(k)  with
+          a_M = eta_M v_H(alpha) v_H(beta1) val_M(X),
+          b_M = (alpha - row_M(X)) (beta1 - col_M(X));
+        prover sends per M: sigma_M, g_M (deg < |K|-1), h_M with
+          h_M v_K = a_M - b_M (X g_M + sigma_M/|K|).
+        Returns (sigma3 = sum sigma_M, {M: (sigma_M, g_M, h_M)}).
+        """
         p = self.p
         K = self.domain(index.k_size)
         n = index.n
         va = (pow(alpha, n, p) - 1) % p
         vb = (pow(beta1, n, p) - 1) % p
-        # evals over K of a_M, b_M
-        Kel = list(K.elements())
-        b_evals = {}
-        a_evals = {}
+        out = {}
+        sigma3 = 0
+        kinv = pow(K.n, -1, p)
         for name in "ABC":
             m = index.mats[name]
-            bl = [(alpha - m.row_evals[i]) * (beta1 - m.col_evals[i]) % p
-                  for i in range(K.n)]
-            b_evals[name] = bl
-            a_evals[name] = [etas[name] * va % p * vb % p * m.val_evals[i] % p
-                             for i in range(K.n)]
-        # f_3 evals (rational) and sigma_3
-        b_abc = [b_evals["A"][i] * b_evals["B"][i] % p * b_evals["C"][i] % p
-                 for i in range(K.n)]
-        binv = batch_inverse(b_abc, p)
-        f3 = []
-        for i in range(K.n):
-            acc = 0
-            acc += a_evals["A"][i] * b_evals["B"][i] % p * b_evals["C"][i]
-            acc += a_evals["B"][i] * b_evals["A"][i] % p * b_evals["C"][i]
-            acc += a_evals["C"][i] * b_evals["A"][i] % p * b_evals["B"][i]
-            f3.append(acc % p * binv[i] % p)
-        sigma3 = sum(f3) % p
-        # g_3 from f3: f3 = X g_3 + sigma_3/|K| over K
-        f3_coeffs = K.ifft(f3)
-        assert f3_coeffs[0] == sigma3 * pow(K.n, -1, p) % p
-        g3 = f3_coeffs[1:]
-        # h_3: a(X) - b(X) (X g_3 + sigma_3/|K|) = h_3 v_K
-        # product-form polynomials (the verifier re-evaluates b_M(beta_3) as
-        # (alpha - row(beta_3))(beta_1 - col(beta_3)) — NOT K-interpolations)
-        a_polys = {}
-        b_polys = {}
-        for name in "ABC":
-            m = index.mats[name]
-            am = poly_scale(m.val, etas[name] * va % p * vb % p, p)
-            a_polys[name] = am
+            b_ev = [(alpha - m.row_evals[i]) * (beta1 - m.col_evals[i]) % p
+                    for i in range(K.n)]
+            a_ev = [etas[name] * va % p * vb % p * m.val_evals[i] % p
+                    for i in range(K.n)]
+            binv = batch_inverse(b_ev, p)
+            f = [a_ev[i] * binv[i] % p for i in range(K.n)]
+            sigma_m = sum(f) % p
+            f_coeffs = K.ifft(f)
+            assert f_coeffs[0] == sigma_m * kinv % p
+            g_m = f_coeffs[1:]
+            # h_M: a_M - b_M (X g_M + sigma_M/|K|) = h_M v_K  (product form)
+            a_poly = poly_scale(m.val, etas[name] * va % p * vb % p, p)
             neg_row = poly_scale(m.row, p - 1, p)
             neg_col = poly_scale(m.col, p - 1, p)
-            t1 = poly_add([alpha % p], neg_row, p)
-            t2 = poly_add([beta1 % p], neg_col, p)
-            b_polys[name] = poly_mul_fft(self.F, t1, t2)
-        bABC = poly_mul_fft(self.F, poly_mul_fft(self.F, b_polys["A"],
-                                                 b_polys["B"]), b_polys["C"])
-        a_total = [0]
-        for name, others in (("A", ("B", "C")), ("B", ("A", "C")),
-                             ("C", ("A", "B"))):
-            term = poly_mul_fft(self.F, a_polys[name], b_polys[others[0]])
-            term = poly_mul_fft(self.F, term, b_polys[others[1]])
-            a_total = poly_add(a_total, term, p)
-        xg3 = [0] + list(g3)
-        xg3[0] = (xg3[0] + sigma3 * pow(K.n, -1, p)) % p
-        rhs = poly_mul_fft(self.F, bABC, xg3)
-        num = poly_add(a_total, poly_scale(rhs, p - 1, p), p)
-        h3, rem = divide_by_vanishing(num, K.n, p)
-        assert all(c == 0 for c in rem), "matrix sumcheck division failed"
-        return sigma3, g3, h3
+            b_poly = poly_mul_fft(self.F, poly_add([alpha % p], neg_row, p),
+                                  poly_add([beta1 % p], neg_col, p))
+            xg = [0] + list(g_m)
+            xg[0] = (xg[0] + sigma_m * kinv) % p
+            num = poly_add(a_poly,
+                           poly_scale(poly_mul_fft(self.F, b_poly, xg),
+                                      p - 1, p), p)
+            h_m, rem = divide_by_vanishing(num, K.n, p)
+            assert all(c == 0 for c in rem), "matrix sumcheck division failed"
+            out[name] = (sigma_m, g_m, h_m)
+            sigma3 = (sigma3 + sigma_m) % p
+        return sigma3, out
 
     # -- verifier equation checks (on opened values) ----------------------
     def check_identities(self, index: AHPIndex, public_input, alpha, etas,
@@ -378,20 +362,20 @@ class AHP:
         rhs = (ev["h_1"] * vH_b1 + beta1 * ev["g_1"]) % p
         if (lhs - rhs) % p:
             return False
-        # (iii) matrix sumcheck at beta3
+        # (iii) per-matrix sumchecks at beta3; sigma_3 = sum of claimed
+        # per-matrix sums (ev carries sigma_A/B/C)
         va = (pow(alpha, n, p) - 1) % p
         vb = (pow(beta1, n, p) - 1) % p
-        bm = {}
-        am = {}
-        for nm in "ABC":
-            bm[nm] = (alpha - ev[f"row_{nm}"]) * (beta1 - ev[f"col_{nm}"]) % p
-            am[nm] = etas[nm] * va % p * vb % p * ev[f"val_{nm}"] % p
-        a_b3 = (am["A"] * bm["B"] % p * bm["C"] +
-                am["B"] * bm["A"] % p * bm["C"] +
-                am["C"] * bm["A"] % p * bm["B"]) % p
-        b_b3 = bm["A"] * bm["B"] % p * bm["C"] % p
+        if (sum(ev[f"sigma_{nm}"] for nm in "ABC") - sigma3) % p:
+            return False
         vK_b3 = (pow(beta3, index.k_size, p) - 1) % p
-        lhs3 = ev["h_3"] * vK_b3 % p
-        rhs3 = (a_b3 - b_b3 * ((beta3 * ev["g_3"] +
-                                sigma3 * pow(index.k_size, -1, p)) % p)) % p
-        return (lhs3 - rhs3) % p == 0
+        kinv = pow(index.k_size, -1, p)
+        for nm in "ABC":
+            bm = (alpha - ev[f"row_{nm}"]) * (beta1 - ev[f"col_{nm}"]) % p
+            am = etas[nm] * va % p * vb % p * ev[f"val_{nm}"] % p
+            lhs3 = ev[f"h_3{nm}"] * vK_b3 % p
+            rhs3 = (am - bm * ((beta3 * ev[f"g_3{nm}"] +
+                                ev[f"sigma_{nm}"] * kinv) % p)) % p
+            if (lhs3 - rhs3) % p:
+                return False
+        return True

@@ -21,6 +21,7 @@ from dataclasses import dataclass
 
 from ...msm.host import FixedBaseTable, msm as host_msm
 from ...poly.domain import poly_eval
+from ..msm_dispatch import fb_mul, msm_any, subrange
 
 
 @dataclass
@@ -56,30 +57,31 @@ class KZG10:
         (this is what makes the SRS universal & the index updatable)."""
         p = self.Fr.MODULUS
         tau = rng.randrange(1, p)
-        t1 = FixedBaseTable(self.cfg.g1_gen, self.Fr.BITS, window=8)
-        t2 = FixedBaseTable(self.cfg.g2_gen, self.Fr.BITS, window=8)
-        powers = []
+        tau_pows = []
         cur = 1
         for _ in range(max_degree + 1):
-            powers.append(t1.mul(cur))
+            tau_pows.append(cur)
             cur = cur * tau % p
+        powers = fb_mul(self.cfg, "g1", tau_pows, self.Fr.BITS)
+        tau_h = fb_mul(self.cfg, "g2", [tau], self.Fr.BITS,
+                       force_host=True)[0]
         return KZGSRS(powers_g1=powers, shifted_g1={},
-                      h=self.cfg.g2_gen, tau_h=t2.mul(tau),
+                      h=self.cfg.g2_gen, tau_h=tau_h,
                       max_degree=max_degree)
 
     # -- commit ----------------------------------------------------------
     def commit(self, srs: KZGSRS, coeffs, degree_bound=None) -> KZGCommitment:
         assert len(coeffs) <= srs.max_degree + 1, "degree exceeds SRS"
-        nz = [(srs.powers_g1[i], c) for i, c in enumerate(coeffs) if c]
-        c = (host_msm([a for a, _ in nz], [b for _, b in nz]) if nz
-             else self.cfg.g1.infinity())
+        coeffs = list(coeffs) or [0]
+        c = msm_any(subrange(srs.powers_g1, 0, len(coeffs)), coeffs,
+                    self.Fr.BITS)
         shadow = None
         if degree_bound is not None:
             assert len(coeffs) <= degree_bound + 1, "degree bound violated"
-            row = srs.powers_g1[srs.max_degree - degree_bound:]
-            nz = [(row[i], co) for i, co in enumerate(coeffs) if co]
-            shadow = (host_msm([a for a, _ in nz], [b for _, b in nz]) if nz
-                      else self.cfg.g1.infinity())
+            row = subrange(srs.powers_g1,
+                           srs.max_degree - degree_bound,
+                           srs.max_degree - degree_bound + len(coeffs))
+            shadow = msm_any(row, coeffs, self.Fr.BITS)
         return KZGCommitment(c=c, shifted=shadow)
 
     # -- open ------------------------------------------------------------
@@ -93,9 +95,7 @@ class KZG10:
         for i in range(len(coeffs) - 1, 0, -1):
             acc = (coeffs[i] + acc * z) % p
             q[i - 1] = acc
-        nz = [(srs.powers_g1[i], c) for i, c in enumerate(q) if c]
-        pi = (host_msm([a for a, _ in nz], [b for _, b in nz]) if nz
-              else self.cfg.g1.infinity())
+        pi = msm_any(subrange(srs.powers_g1, 0, len(q)), q, self.Fr.BITS)
         return y, pi
 
     def open_batch(self, srs: KZGSRS, polys, z: int, xi: int):

@@ -72,7 +72,8 @@ class MarlinProof:
 
 _B1_POLYS = ["zhat_A", "zhat_B", "zhat_C", "what", "h_0", "g_1", "h_1"]
 _B3_POLYS = (["row_%s" % m for m in "ABC"] + ["col_%s" % m for m in "ABC"]
-             + ["val_%s" % m for m in "ABC"] + ["g_3", "h_3"])
+             + ["val_%s" % m for m in "ABC"]
+             + ["g_3%s" % m for m in "ABC"] + ["h_3%s" % m for m in "ABC"])
 
 
 class MarlinSNARK:
@@ -105,7 +106,7 @@ class MarlinSNARK:
     # -- sizing -----------------------------------------------------------
     @staticmethod
     def _required_degree(n: int, k_size: int) -> int:
-        return max(2 * n, 6 * k_size, 16)
+        return max(2 * n, 3 * k_size, 16)
 
     def circuit_degree(self, circuit) -> int:
         cs = ConstraintSystem(self.Fr)
@@ -202,12 +203,15 @@ class MarlinSNARK:
             self._absorb_comm(sp, comms2[nm])
         beta1 = self._challenge(sp)
 
-        # round 3
-        sigma3, g3, h3 = self.ahp.prover_round3(idx, alpha, beta1, etas)
-        comms3 = {"g_3": self.kzg.commit(srs, g3,
-                                         degree_bound=idx.k_size - 2),
-                  "h_3": self.kzg.commit(srs, h3)}
-        self._absorb_fr(sp, [sigma3])
+        # round 3 (per-matrix sumchecks)
+        sigma3, r3 = self.ahp.prover_round3(idx, alpha, beta1, etas)
+        comms3 = {}
+        for name in "ABC":
+            _, g_m, h_m = r3[name]
+            comms3[f"g_3{name}"] = self.kzg.commit(
+                srs, g_m, degree_bound=idx.k_size - 2)
+            comms3[f"h_3{name}"] = self.kzg.commit(srs, h_m)
+        self._absorb_fr(sp, [r3[name][0] for name in "ABC"])
         for nm in sorted(comms3):
             self._absorb_comm(sp, comms3[nm])
         beta3 = self._challenge(sp)
@@ -222,14 +226,16 @@ class MarlinSNARK:
             poly_map3[f"row_{name}"] = m.row
             poly_map3[f"col_{name}"] = m.col
             poly_map3[f"val_{name}"] = m.val
-        poly_map3["g_3"] = g3
-        poly_map3["h_3"] = h3
+            poly_map3[f"g_3{name}"] = r3[name][1]
+            poly_map3[f"h_3{name}"] = r3[name][2]
 
         evals = {}
         for nm in _B1_POLYS:
             evals[nm] = poly_eval(poly_map1[nm], beta1, p)
         for nm in _B3_POLYS:
             evals[nm] = poly_eval(poly_map3[nm], beta3, p)
+        for name in "ABC":
+            evals[f"sigma_{name}"] = r3[name][0]
         self._absorb_fr(sp, [evals[nm] for nm in _B1_POLYS + _B3_POLYS])
         xi = self._challenge(sp)
 
@@ -240,8 +246,8 @@ class MarlinSNARK:
             + [[0] * shift1 + list(g1)]
         _, pi1 = self.kzg.open_batch(srs, polys1, beta1, xi)
         shift3 = d - (idx.k_size - 2)
-        polys3 = [poly_map3[nm] for nm in _B3_POLYS] \
-            + [[0] * shift3 + list(g3)]
+        polys3 = [poly_map3[nm] for nm in _B3_POLYS] + [
+            [0] * shift3 + list(r3[name][1]) for name in "ABC"]
         _, pi3 = self.kzg.open_batch(srs, polys3, beta3, xi)
 
         return MarlinProof(comms1=comms1, comms2=comms2, comms3=comms3,
@@ -266,7 +272,7 @@ class MarlinSNARK:
         for nm in sorted(proof.comms2):
             self._absorb_comm(sp, proof.comms2[nm])
         beta1 = self._challenge(sp)
-        self._absorb_fr(sp, [proof.sigma3])
+        self._absorb_fr(sp, [proof.evals[f"sigma_{name}"] for name in "ABC"])
         for nm in sorted(proof.comms3):
             self._absorb_comm(sp, proof.comms3[nm])
         beta3 = self._challenge(sp)
@@ -293,13 +299,17 @@ class MarlinSNARK:
                 ys1 + [ys1_shadow], proof.pi1, xi):
             return False
         comms3 = [vk.index_comms[nm] for nm in _B3_POLYS[:9]] \
-            + [proof.comms3["g_3"], proof.comms3["h_3"]]
+            + [proof.comms3[f"g_3{name}"] for name in "ABC"] \
+            + [proof.comms3[f"h_3{name}"] for name in "ABC"]
         ys3 = [proof.evals[nm] for nm in _B3_POLYS]
-        shadow3 = KZGCommitment(c=proof.comms3["g_3"].shifted)
-        ys3_shadow = pow(beta3, d - (vk.k_size - 2), p) * proof.evals["g_3"] % p
+        shadow3 = [KZGCommitment(c=proof.comms3[f"g_3{name}"].shifted)
+                   for name in "ABC"]
+        shift_factor = pow(beta3, d - (vk.k_size - 2), p)
+        ys3_shadow = [shift_factor * proof.evals[f"g_3{name}"] % p
+                      for name in "ABC"]
         if not self.kzg.check_batch(
-                pk_srs_view(vk), comms3 + [shadow3], beta3,
-                ys3 + [ys3_shadow], proof.pi3, xi):
+                pk_srs_view(vk), comms3 + shadow3, beta3,
+                ys3 + ys3_shadow, proof.pi3, xi):
             return False
         return True
 

@@ -1,0 +1,69 @@
+"""Shared size-dispatching MSM / fixed-base helpers for SNARK backends.
+
+Small workloads use host Python points; large ones run on the device data
+plane (fixed-base gathers, Pippenger MSM) with keys kept device-resident
+as DevicePointVec.
+"""
+
+from __future__ import annotations
+
+DEVICE_THRESHOLD = 60000
+
+
+def fb_mul(cfg, which: str, scalars, scalar_bits: int, as_host: bool = False,
+           force_host: bool = False):
+    """[s_i] G batch for G = cfg's G1/G2 generator."""
+    if force_host or len(scalars) < DEVICE_THRESHOLD:
+        from ..msm.host import FixedBaseTable
+
+        curve = cfg.g1 if which == "g1" else cfg.g2
+        base = cfg.g1_gen if which == "g1" else cfg.g2_gen
+        key = ("_fbt_" + which, scalar_bits)
+        tbl = getattr(cfg, "_fb_cache", None)
+        if tbl is None:
+            tbl = {}
+            object.__setattr__(cfg, "_fb_cache", tbl)
+        if key not in tbl:
+            tbl[key] = FixedBaseTable(base, scalar_bits, window=8)
+        return [tbl[key].mul(int(s)) for s in scalars]
+    import jax.numpy as jnp
+
+    from ..ops.fixed_base import DevicePointVec, fixed_base_device
+
+    curve = cfg.g1 if which == "g1" else cfg.g2
+    base = cfg.g1_gen if which == "g1" else cfg.g2_gen
+    fb = fixed_base_device(curve, base, scalar_bits)
+    digits = jnp.asarray(fb.digits_from_ints(scalars))
+    vec = DevicePointVec(curve, fb.mul_digits_padded(digits))
+    return vec.to_host() if as_host else vec
+
+
+def msm_any(query, scalars, scalar_bits: int):
+    """MSM over a host point list or a DevicePointVec; returns a host point."""
+    from ..ops.fixed_base import DevicePointVec
+
+    if isinstance(query, DevicePointVec):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..ops.msm_tensor import msm_ctx
+
+        mctx = msm_ctx(query.curve, scalar_bits)
+        digits = jnp.asarray(mctx.digits_from_ints(scalars))
+        out = mctx.msm_digits_padded(query.arrays, digits)
+        return mctx.ec.decode_point(tuple(np.asarray(c) for c in out))
+    from ..msm.host import msm as host_msm
+
+    nz = [(pt, s) for pt, s in zip(query, scalars) if int(s)]
+    if not nz:
+        return query[0].curve.infinity()
+    return host_msm([a for a, _ in nz], [b for _, b in nz])
+
+
+def subrange(query, start: int, stop=None):
+    from ..ops.fixed_base import DevicePointVec
+
+    if isinstance(query, DevicePointVec):
+        n = len(query)
+        return query.slice(start, n if stop is None else stop)
+    return query[start:stop]

@@ -90,7 +90,7 @@ def test_marlin_roundtrip(cfg_fn):
     assert not m.verify(vk, [x], bad)
     bad2 = proof.clone()
     bad2.evals = dict(proof.evals)
-    bad2.evals["g_3"] = (proof.evals["g_3"] + 1) % cfg.Fr.MODULUS
+    bad2.evals["g_3A"] = (proof.evals["g_3A"] + 1) % cfg.Fr.MODULUS
     assert not m.verify(vk, [x], bad2)
 
 
