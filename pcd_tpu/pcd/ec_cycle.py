@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from ..gadgets.fp import Boolean, UInt8, fpvar_class
 from ..gadgets.inputs import repacked_len
 from ..r1cs.system import ConstraintSystem
+from ..utils.profiling import span
 from ..utils.rng import test_rng
 from .api import PCDError, PCDPredicate
 
@@ -291,7 +292,9 @@ class ECCyclePCD:
         ic = self.ic
         if len(prior_msgs) != len(prior_proofs):
             raise PCDError("prior_msgs/prior_proofs length mismatch")
-        input_hash = self._input_hash(pk.crh_pp, pk.help_vk, predicate, msg)
+        with span("pcd/input_hash"):
+            input_hash = self._input_hash(pk.crh_pp, pk.help_vk, predicate,
+                                          msg)
 
         base = len(prior_msgs) == 0
         main_circuit = MainCircuit(
@@ -299,11 +302,13 @@ class ECCyclePCD:
             help_vk=pk.help_vk, msg=msg, witness=witness,
             prior_msgs=prior_msgs, prior_proofs=prior_proofs,
             base_case_bit=base)
-        main_proof = ic.main_snark.prove(pk.main_pk, main_circuit, rng)
+        with span("pcd/main_prove"):
+            main_proof = ic.main_snark.prove(pk.main_pk, main_circuit, rng)
 
         help_circuit = HelpCircuit(ic, pk.main_pvk, input_hash=input_hash,
                                    main_proof=main_proof)
-        help_proof = ic.help_snark.prove(pk.help_pk, help_circuit, rng)
+        with span("pcd/help_prove"):
+            help_proof = ic.help_snark.prove(pk.help_pk, help_circuit, rng)
         return help_proof
 
     # ------------------------------------------------------------------
@@ -313,3 +318,134 @@ class ECCyclePCD:
         main_public_input = ic.crh.convert_output_to_field_elements(input_hash)
         help_public_input = ic.main_gadget.repack_input(main_public_input)
         return ic.help_snark.verify(vk.help_vk, help_public_input, proof)
+
+
+# ======================================================================
+class BoundTestingPredicate(PCDPredicate):
+    """Synthetic predicate wrapping a size-bound circuit — used by the
+    universal setup to size the SRS (reference ec_cycle_pcd/mod.rs:256-302:
+    msg = witness + prior_msg, plus the bound circuit's constraints)."""
+
+    PRIOR_MSG_LEN = 1
+
+    def __init__(self, field, bound_circuit):
+        self.F = field
+        self.bound_circuit = bound_circuit
+
+    def default_message(self):
+        return self.F.zero()
+
+    def default_witness(self):
+        return self.F.zero()
+
+    def new_message_var(self, cs, msg):
+        return fpvar_class(cs).new_witness(msg)
+
+    new_witness_var = new_message_var
+
+    def message_var_to_bytes(self, msg_var):
+        return msg_var.to_bytes()
+
+    def generate_constraints(self, cs, msg_var, witness_var, prior_msg_vars,
+                             base_case_bool):
+        assert len(prior_msg_vars) == self.PRIOR_MSG_LEN
+        (witness_var + prior_msg_vars[0]).enforce_equal(msg_var)
+        self.bound_circuit.generate_constraints(cs)
+
+
+class BoundCircuit:
+    """Default bound circuit: ~`size` R1CS constraints worth of work
+    (role of UniversalSetupSNARKGadget::BoundCircuit, which converts a
+    ComputationBound into a circuit of that size)."""
+
+    def __init__(self, size: int):
+        self.size = max(int(size), 1)
+
+    def generate_constraints(self, cs):
+        V = fpvar_class(cs)
+        x = V.new_witness(3)
+        acc = x
+        for _ in range(self.size):
+            acc = acc * x
+        acc.enforce_equal(V.new_witness(acc.val))
+
+
+class UniversalSetupMixin:
+    """UniversalSetupPCD surface (reference lib.rs:63-77 and the SRS-sizing
+    retry loop ec_cycle_pcd/mod.rs:319-471 / index :473-584).
+
+    PublicParameters = (main_bound, crh_pp, main_pp, help_pp).
+    Both SNARKs must expose universal_setup(bound, rng) / index(pp, circuit)
+    raising NeedLargerBound (Marlin does; Groth16/GM17 are circuit-specific
+    and use circuit_specific_setup instead)."""
+
+    def universal_setup(self, predicate_bound, rng):
+        from ..snark.api import NeedLargerBound
+
+        ic = self.ic
+        crh_pp = ic.crh.setup(rng)
+        bound_pred = BoundTestingPredicate(
+            ic.main_field, BoundCircuit(getattr(predicate_bound, "max_degree",
+                                                predicate_bound)))
+        main_bound = predicate_bound.clone() if hasattr(predicate_bound, "clone") \
+            else predicate_bound
+        help_bound = type(main_bound)() if hasattr(main_bound, "clone") else 16
+
+        shape = None
+        for _ in range(16):
+            main_pp = ic.main_snark.universal_setup(main_bound, rng)
+            help_pp = ic.help_snark.universal_setup(help_bound, rng)
+            try:
+                main_circuit = MainCircuit(ic, bound_pred, crh_pp,
+                                           help_vk_shape=shape)
+                main_pk, main_vk = ic.main_snark.index(main_pp, main_circuit,
+                                                       rng)
+            except NeedLargerBound as e:
+                main_bound = e.bound
+                continue
+            main_pvk = ic.main_snark.process_vk(main_vk)
+            try:
+                help_circuit = HelpCircuit(ic, main_pvk)
+                help_pk, help_vk = ic.help_snark.index(help_pp, help_circuit,
+                                                       rng)
+            except NeedLargerBound as e:
+                help_bound = e.bound
+                continue
+            shape_fn = getattr(ic.help_gadget, "vk_shape", None)
+            if shape_fn is not None:
+                real_shape = shape_fn(help_vk)
+                if real_shape != shape:
+                    shape = real_shape
+                    continue
+            return (main_bound, crh_pp, main_pp, help_pp, shape)
+        raise PCDError("universal setup did not converge")
+
+    def index(self, pp, predicate, rng):
+        from ..snark.api import NeedLargerBound
+
+        ic = self.ic
+        main_bound, crh_pp, main_pp, help_pp, shape = pp
+        try:
+            main_circuit = MainCircuit(ic, predicate, crh_pp,
+                                       help_vk_shape=shape)
+            main_pk, main_vk = ic.main_snark.index(main_pp, main_circuit, rng)
+            main_pvk = ic.main_snark.process_vk(main_vk)
+            help_circuit = HelpCircuit(ic, main_pvk)
+            help_pk, help_vk = ic.help_snark.index(help_pp, help_circuit, rng)
+        except NeedLargerBound as e:
+            raise PCDError(
+                f"the bound is not correctly chosen (need {e.bound})") from e
+        shape_fn = getattr(ic.help_gadget, "vk_shape", None)
+        if shape_fn is not None and shape_fn(help_vk) != shape:
+            raise PCDError("the bound is not correctly chosen (vk shape)")
+        pk = ECCyclePCDPK(crh_pp=crh_pp, main_pk=main_pk, main_pvk=main_pvk,
+                          help_pk=help_pk, help_vk=help_vk)
+        vk = ECCyclePCDVK(crh_pp=crh_pp, help_vk=help_vk)
+        pk.help_vk_shape = shape
+        vk.help_vk_shape = shape
+        return pk, vk
+
+
+# mix the universal surface into ECCyclePCD
+ECCyclePCD.universal_setup = UniversalSetupMixin.universal_setup
+ECCyclePCD.index = UniversalSetupMixin.index

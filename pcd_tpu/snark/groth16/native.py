@@ -21,6 +21,7 @@ from dataclasses import dataclass
 from ...msm.host import FixedBaseTable, msm as host_msm
 from ...poly.domain import EvaluationDomain
 from ...r1cs.system import ConstraintSystem
+from ...utils.profiling import span
 from ..api import SNARKError
 
 
@@ -263,7 +264,8 @@ class Groth16:
 
     # ------------------------------------------------------------------
     def prove(self, pk: Groth16PK, circuit, rng):
-        cs = self._synthesize(circuit)
+        with span("groth16/synthesize"):
+            cs = self._synthesize(circuit)
         p = self.Fr.MODULUS
         num_vars = cs.num_instance + cs.num_witness
         if num_vars != len(pk.a_query):
@@ -287,13 +289,20 @@ class Groth16:
             b_ev[j] = sum(co * z[col] for col, co in rb.items()) % p
             c_ev[j] = sum(co * z[col] for col, co in rc.items()) % p
         device = self._use_device(len(rows))
-        h = self._h_poly(domain, a_ev, b_ev, c_ev, device)
+        with span("groth16/h_poly"):
+            h = self._h_poly(domain, a_ev, b_ev, c_ev, device)
         # degree of h is n-2; drop the top coefficient (must be ~0)
         h = h[: domain.n - 1]
 
         r = rng.randrange(p)
         s = rng.randrange(p)
 
+        with span("groth16/msm"):
+            return self._prove_commit(pk, cs, z, h, r, s)
+
+    def _prove_commit(self, pk, cs, z, h, r, s):
+        n_inst = cs.num_instance
+        p = self.Fr.MODULUS
         g_a = pk.vk.alpha_g1 + self._msm_any(pk.a_query, z) + pk.delta_g1 * r
         g_b2 = pk.vk.beta_g2 + self._msm_any(pk.b_g2_query, z) \
             + pk.vk.delta_g2 * s

@@ -1,0 +1,258 @@
+"""Canonical serialization for proofs and verifying keys (SURVEY.md D15;
+role of ark-serialize).  PCD is itself checkpointable computation — any
+(message, proof) pair is a resumable state (reference README.md:5) — so
+proof/vk byte round-trips are the checkpoint/resume primitive.
+
+Layouts (little-endian; field elements use the canonical 8*ceil(bits/64)
+byte layout of pcd_tpu.fields.prime):
+  G1/G2 point:  per-coordinate prime-subfield limbs, then 1 flag byte
+                (0 = affine, 1 = infinity; infinity stores zero coords)
+  proof/vk:     fixed field order per scheme, length-prefixed vectors
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _write_point(out, pt):
+    if pt.is_infinity():
+        F = pt.curve.F
+        zero = F.zero() if hasattr(F, "zero") else F.from_int(0)
+        coords = zero.to_prime_coeffs() if hasattr(zero, "to_prime_coeffs") \
+            else [zero]
+        per = len(coords)
+        blank = b"\x00" * (coords[0].BYTES if hasattr(coords[0], "BYTES")
+                           else len(coords[0].to_bytes()))
+        for _ in range(2 * per):
+            out.append(blank)
+        out.append(b"\x01")
+        return
+    for coord in (pt.x, pt.y):
+        cs = coord.to_prime_coeffs() if hasattr(coord, "to_prime_coeffs") \
+            else [coord]
+        for c in cs:
+            out.append(c.to_bytes())
+    out.append(b"\x00")
+
+
+def _read_point(curve, buf, off):
+    F = curve.F
+    prime = F.prime_subfield()
+    deg = F.extension_degree_over_prime()
+    nb = prime.BYTES
+    coords = []
+    for _ in range(2):
+        cs = []
+        for _ in range(deg):
+            cs.append(prime.from_bytes(bytes(buf[off : off + nb])))
+            off += nb
+        coords.append(F.from_prime_coeffs(cs) if deg > 1 else cs[0])
+    flag = buf[off]
+    off += 1
+    if flag == 1:
+        return curve.infinity(), off
+    return curve.point(coords[0], coords[1]), off
+
+
+def _point_size(curve):
+    F = curve.F
+    prime = F.prime_subfield()
+    return 2 * F.extension_degree_over_prime() * prime.BYTES + 1
+
+
+# ---------------------------------------------------------------- Groth16
+def groth16_proof_to_bytes(proof) -> bytes:
+    out = []
+    _write_point(out, proof.a)
+    _write_point(out, proof.b)
+    _write_point(out, proof.c)
+    return b"".join(out)
+
+
+def groth16_proof_from_bytes(cfg, data: bytes):
+    from ..snark.groth16.native import Groth16Proof
+
+    off = 0
+    a, off = _read_point(cfg.g1, data, off)
+    b, off = _read_point(cfg.g2, data, off)
+    c, off = _read_point(cfg.g1, data, off)
+    return Groth16Proof(a=a, b=b, c=c)
+
+
+def groth16_vk_to_bytes(vk) -> bytes:
+    out = []
+    _write_point(out, vk.alpha_g1)
+    _write_point(out, vk.beta_g2)
+    _write_point(out, vk.gamma_g2)
+    _write_point(out, vk.delta_g2)
+    out.append(struct.pack("<I", len(vk.gamma_abc)))
+    for p in vk.gamma_abc:
+        _write_point(out, p)
+    return b"".join(out)
+
+
+def groth16_vk_from_bytes(cfg, data: bytes):
+    from ..snark.groth16.native import Groth16VK
+
+    off = 0
+    alpha, off = _read_point(cfg.g1, data, off)
+    beta, off = _read_point(cfg.g2, data, off)
+    gamma, off = _read_point(cfg.g2, data, off)
+    delta, off = _read_point(cfg.g2, data, off)
+    (n,) = struct.unpack_from("<I", data, off)
+    off += 4
+    abc = []
+    for _ in range(n):
+        p, off = _read_point(cfg.g1, data, off)
+        abc.append(p)
+    return Groth16VK(alpha_g1=alpha, beta_g2=beta, gamma_g2=gamma,
+                     delta_g2=delta, gamma_abc=abc)
+
+
+# ---------------------------------------------------------------- GM17
+def gm17_proof_to_bytes(proof) -> bytes:
+    out = []
+    _write_point(out, proof.a)
+    _write_point(out, proof.b)
+    _write_point(out, proof.c)
+    return b"".join(out)
+
+
+def gm17_proof_from_bytes(cfg, data: bytes):
+    from ..snark.gm17.native import GM17Proof
+
+    off = 0
+    a, off = _read_point(cfg.g1, data, off)
+    b, off = _read_point(cfg.g2, data, off)
+    c, off = _read_point(cfg.g1, data, off)
+    return GM17Proof(a=a, b=b, c=c)
+
+
+def gm17_vk_to_bytes(vk) -> bytes:
+    out = []
+    _write_point(out, vk.alpha_g1)
+    _write_point(out, vk.alpha_g2)
+    _write_point(out, vk.gamma_g1)
+    _write_point(out, vk.gamma_g2)
+    _write_point(out, vk.delta_g2)
+    out.append(struct.pack("<I", len(vk.query)))
+    for p in vk.query:
+        _write_point(out, p)
+    return b"".join(out)
+
+
+def gm17_vk_from_bytes(cfg, data: bytes):
+    from ..snark.gm17.native import GM17VK
+
+    off = 0
+    a1, off = _read_point(cfg.g1, data, off)
+    a2, off = _read_point(cfg.g2, data, off)
+    g1, off = _read_point(cfg.g1, data, off)
+    g2, off = _read_point(cfg.g2, data, off)
+    d2, off = _read_point(cfg.g2, data, off)
+    (n,) = struct.unpack_from("<I", data, off)
+    off += 4
+    q = []
+    for _ in range(n):
+        p, off = _read_point(cfg.g1, data, off)
+        q.append(p)
+    return GM17VK(alpha_g1=a1, alpha_g2=a2, gamma_g1=g1, gamma_g2=g2,
+                  delta_g2=d2, query=q)
+
+
+# ---------------------------------------------------------------- Marlin
+_MARLIN_EVAL_ORDER = None
+
+
+def _marlin_orders():
+    from ..snark.marlin.native import _B1_POLYS, _B3_POLYS
+
+    evs = list(_B1_POLYS) + list(_B3_POLYS) + [f"sigma_{n}" for n in "ABC"]
+    comm1 = ["h_0", "what", "zhat_A", "zhat_B", "zhat_C"]
+    comm3 = [f"g_3{n}" for n in "ABC"] + [f"h_3{n}" for n in "ABC"]
+    return evs, comm1, comm3
+
+
+def marlin_proof_to_bytes(proof, Fr) -> bytes:
+    evs, comm1, comm3 = _marlin_orders()
+    out = []
+    for nm in sorted(comm1):
+        _write_point(out, proof.comms1[nm].c)
+    for nm in ("g_1", "h_1"):
+        _write_point(out, proof.comms2[nm].c)
+    _write_point(out, proof.comms2["g_1"].shifted)
+    for nm in sorted(comm3):
+        _write_point(out, proof.comms3[nm].c)
+    for nm in [f"g_3{n}" for n in "ABC"]:
+        _write_point(out, proof.comms3[nm].shifted)
+    out.append(Fr.from_int(proof.sigma3).to_bytes())
+    for nm in evs:
+        out.append(Fr.from_int(proof.evals[nm]).to_bytes())
+    _write_point(out, proof.pi1)
+    _write_point(out, proof.pi3)
+    return b"".join(out)
+
+
+def marlin_proof_from_bytes(cfg, data: bytes):
+    from ..snark.marlin.kzg import KZGCommitment
+    from ..snark.marlin.native import MarlinProof
+
+    Fr = cfg.Fr
+    evs, comm1, comm3 = _marlin_orders()
+    off = 0
+    comms1 = {}
+    for nm in sorted(comm1):
+        p, off = _read_point(cfg.g1, data, off)
+        comms1[nm] = KZGCommitment(c=p)
+    g1c, off = _read_point(cfg.g1, data, off)
+    h1c, off = _read_point(cfg.g1, data, off)
+    g1s, off = _read_point(cfg.g1, data, off)
+    comms2 = {"g_1": KZGCommitment(c=g1c, shifted=g1s),
+              "h_1": KZGCommitment(c=h1c)}
+    c3 = {}
+    for nm in sorted(comm3):
+        p, off = _read_point(cfg.g1, data, off)
+        c3[nm] = KZGCommitment(c=p)
+    for nm in [f"g_3{n}" for n in "ABC"]:
+        p, off = _read_point(cfg.g1, data, off)
+        c3[nm] = KZGCommitment(c=c3[nm].c, shifted=p)
+    nb = Fr.BYTES
+    sigma3 = Fr.from_bytes(bytes(data[off : off + nb])).n
+    off += nb
+    evals = {}
+    for nm in evs:
+        evals[nm] = Fr.from_bytes(bytes(data[off : off + nb])).n
+        off += nb
+    pi1, off = _read_point(cfg.g1, data, off)
+    pi3, off = _read_point(cfg.g1, data, off)
+    return MarlinProof(comms1=comms1, comms2=comms2, comms3=c3,
+                       sigma3=sigma3, evals=evals, pi1=pi1, pi3=pi3)
+
+
+# ---------------------------------------------------------------- PCD level
+def pcd_proof_to_bytes(pcd, proof) -> bytes:
+    """Serialize a PCD proof (= the help SNARK's proof)."""
+    ic = pcd.ic
+    help_cfg = ic.cycle.help
+    name = type(proof).__name__
+    if name == "Groth16Proof":
+        return b"G16" + groth16_proof_to_bytes(proof)
+    if name == "GM17Proof":
+        return b"GM7" + gm17_proof_to_bytes(proof)
+    if name == "MarlinProof":
+        return b"MRL" + marlin_proof_to_bytes(proof, help_cfg.Fr)
+    raise TypeError(name)
+
+
+def pcd_proof_from_bytes(pcd, data: bytes):
+    ic = pcd.ic
+    help_cfg = ic.cycle.help
+    tag, body = data[:3], data[3:]
+    if tag == b"G16":
+        return groth16_proof_from_bytes(help_cfg, body)
+    if tag == b"GM7":
+        return gm17_proof_from_bytes(help_cfg, body)
+    if tag == b"MRL":
+        return marlin_proof_from_bytes(help_cfg, body)
+    raise ValueError(f"unknown proof tag {tag!r}")

@@ -1,0 +1,88 @@
+"""Serialization round-trips for proofs/vks and PCD checkpoint/resume
+(SURVEY.md D15 / §5 checkpoint-resume: any (msg, proof) pair is resumable
+state)."""
+
+import pytest
+
+from pcd_tpu import configs
+from pcd_tpu.curves import models as M
+from pcd_tpu.gadgets.fp import fpvar_class
+from pcd_tpu.pcd.api import FpPredicate
+from pcd_tpu.snark.gm17.native import GM17
+from pcd_tpu.snark.groth16.native import Groth16
+from pcd_tpu.snark.marlin.native import MarlinSNARK
+from pcd_tpu.utils import serialize as S
+from pcd_tpu.utils.rng import ChaChaRng
+
+
+class MulCircuit:
+    def generate_constraints(self, cs):
+        V = fpvar_class(cs)
+        x = V.new_instance(24)
+        (V.new_witness(4) * V.new_witness(6)).enforce_equal(x)
+
+
+def test_groth16_roundtrip_bytes():
+    cfg = M.toy_mnt4()
+    g = Groth16(cfg)
+    rng = ChaChaRng(b"ser g16")
+    pk, vk = g.circuit_specific_setup(MulCircuit(), rng)
+    proof = g.prove(pk, MulCircuit(), rng)
+    x = cfg.Fr.from_int(24)
+
+    p2 = S.groth16_proof_from_bytes(cfg, S.groth16_proof_to_bytes(proof))
+    vk2 = S.groth16_vk_from_bytes(cfg, S.groth16_vk_to_bytes(vk))
+    assert g.verify(vk2, [x], p2)
+    assert S.groth16_proof_to_bytes(p2) == S.groth16_proof_to_bytes(proof)
+
+
+def test_gm17_roundtrip_bytes():
+    cfg = M.toy_mnt6()
+    g = GM17(cfg)
+    rng = ChaChaRng(b"ser gm17")
+    pk, vk = g.circuit_specific_setup(MulCircuit(), rng)
+    proof = g.prove(pk, MulCircuit(), rng)
+    x = cfg.Fr.from_int(24)
+    p2 = S.gm17_proof_from_bytes(cfg, S.gm17_proof_to_bytes(proof))
+    vk2 = S.gm17_vk_from_bytes(cfg, S.gm17_vk_to_bytes(vk))
+    assert g.verify(vk2, [x], p2)
+
+
+def test_marlin_proof_roundtrip_bytes():
+    cfg = M.toy_mnt4()
+    m = MarlinSNARK(cfg)
+    rng = ChaChaRng(b"ser marlin")
+    pk, vk = m.circuit_specific_setup(MulCircuit(), rng)
+    proof = m.prove(pk, MulCircuit(), rng)
+    x = cfg.Fr.from_int(24)
+    p2 = S.marlin_proof_from_bytes(cfg, S.marlin_proof_to_bytes(proof, cfg.Fr))
+    assert m.verify(vk, [x], p2)
+    assert S.marlin_proof_to_bytes(p2, cfg.Fr) == \
+        S.marlin_proof_to_bytes(proof, cfg.Fr)
+
+
+class Counter(FpPredicate):
+    PRIOR_MSG_LEN = 1
+
+    def generate_constraints(self, cs, msg, wit, priors, base):
+        (priors[0] + wit).enforce_equal(msg)
+
+
+@pytest.mark.pcd_toy
+def test_pcd_checkpoint_resume():
+    """Serialize a PCD proof, reload it in place of the live object, and
+    continue the IVC chain — the checkpoint/resume flow."""
+    pcd = configs.toy_groth16()
+    F = pcd.ic.main_field
+    pred = Counter(F)
+    rng = ChaChaRng(b"ckpt")
+    pk, vk = pcd.circuit_specific_setup(pred, rng)
+    one = F.from_int(1)
+    p1 = pcd.prove(pk, pred, one, one, [], [], rng)
+    blob = S.pcd_proof_to_bytes(pcd, p1)
+    p1_restored = S.pcd_proof_from_bytes(pcd, blob)
+    assert pcd.verify(vk, pred, one, p1_restored)
+    # resume the chain from the restored checkpoint
+    two = F.from_int(2)
+    p2 = pcd.prove(pk, pred, two, one, [one], [p1_restored], rng)
+    assert pcd.verify(vk, pred, two, p2)
