@@ -42,6 +42,26 @@ def limbs_to_int(a) -> int:
     return sum(int(v) << (LIMB_BITS * i) for i, v in enumerate(a))
 
 
+def ints_to_limbs_np(xs, k: int) -> np.ndarray:
+    """Vectorized int -> 16-bit-limb conversion via the bytes fast path
+    (int.to_bytes is C-speed; the Python-loop version costs ~100x more)."""
+    nb = 2 * k
+    buf = b"".join(int(x).to_bytes(nb, "little") for x in xs)
+    arr = np.frombuffer(buf, dtype="<u2").reshape(len(xs), k)
+    return arr.astype(np.uint32)
+
+
+def limbs_to_ints_np(arr) -> list:
+    """Vectorized limb-array -> int list (inverse of ints_to_limbs_np)."""
+    arr = np.ascontiguousarray(np.asarray(arr, dtype=np.uint32))
+    n, k = arr.shape
+    u2 = arr.astype("<u2")
+    buf = u2.tobytes()
+    nb = 2 * k
+    return [int.from_bytes(buf[i * nb : (i + 1) * nb], "little")
+            for i in range(n)]
+
+
 def _carry_scan(t):
     """Full carry propagation along the last axis (lax.scan)."""
     xs = jnp.moveaxis(t, -1, 0)
@@ -79,24 +99,17 @@ class FpLimbCtx:
         return int_to_limbs(x * self.R % self.p, self.k)
 
     def encode(self, xs) -> np.ndarray:
-        out = np.zeros((len(xs), self.k), dtype=np.uint32)
-        for i, x in enumerate(xs):
-            out[i] = self.to_mont_host(int(x) % self.p)
-        return out
+        R, p = self.R, self.p
+        return ints_to_limbs_np([int(x) * R % p for x in xs], self.k)
 
     def from_mont_limbs(self, a) -> int:
         return limbs_to_int(a) * pow(self.R, -1, self.p) % self.p
 
     def decode(self, arr) -> list:
-        arr = np.asarray(arr)
+        arr = np.asarray(arr).reshape(-1, self.k)
         rinv = pow(self.R, -1, self.p)
-        out = []
-        for row in arr.reshape(-1, self.k):
-            v = 0
-            for i in range(self.k - 1, -1, -1):
-                v = (v << LIMB_BITS) | int(row[i])
-            out.append(v * rinv % self.p)
-        return out
+        p = self.p
+        return [v * rinv % p for v in limbs_to_ints_np(arr)]
 
     # -- device ops -----------------------------------------------------
     def mont_mul(self, a, b):

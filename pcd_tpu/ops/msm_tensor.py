@@ -43,6 +43,12 @@ class MSMTensorCtx:
     def digits_from_ints(self, scalars) -> np.ndarray:
         """(nwin, n) uint32 window digits, LSB window first."""
         n = len(scalars)
+        if self.c == 8:
+            # bytes ARE the digits: vectorized via the to_bytes fast path
+            buf = b"".join(int(s).to_bytes(self.nwin, "little")
+                           for s in scalars)
+            arr = np.frombuffer(buf, dtype=np.uint8).reshape(n, self.nwin)
+            return np.ascontiguousarray(arr.T).astype(np.uint32)
         out = np.zeros((self.nwin, n), dtype=np.uint32)
         mask = (1 << self.c) - 1
         for j, s in enumerate(scalars):

@@ -90,11 +90,43 @@ def placeholder_proof(snark, public_input_size: int):
         cache = {}
         snark._placeholder_cache = cache
     if public_input_size not in cache:
-        rng = test_rng()
-        circ = DefaultCircuit(public_input_size)
-        pk, vk = snark.circuit_specific_setup(circ, rng)
-        proof = snark.prove(pk, circ, rng)
-        cache[public_input_size] = (vk, proof)
+        import os
+        import struct as _struct
+
+        from ..utils import serialize as _ser
+
+        cdir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".placeholder_cache")
+        key = (type(snark).__name__, snark.cfg.name, public_input_size)
+        fname = os.path.join(cdir, "_".join(str(k) for k in key) + ".bin")
+        loaded = False
+        if os.path.exists(fname):
+            try:
+                with open(fname, "rb") as f:
+                    blob = f.read()
+                (nvk,) = _struct.unpack_from("<I", blob, 0)
+                vk = _ser.snark_vk_from_bytes(snark, blob[4 : 4 + nvk])
+                proof = _ser.snark_proof_from_bytes(snark, blob[4 + nvk:])
+                cache[public_input_size] = (vk, proof)
+                loaded = True
+            except Exception:
+                loaded = False
+        if not loaded:
+            rng = test_rng()
+            circ = DefaultCircuit(public_input_size)
+            pk, vk = snark.circuit_specific_setup(circ, rng)
+            proof = snark.prove(pk, circ, rng)
+            cache[public_input_size] = (vk, proof)
+            try:
+                vb = _ser.snark_vk_to_bytes(snark, vk)
+                pb = _ser.snark_proof_to_bytes(snark, proof)
+                os.makedirs(cdir, exist_ok=True)
+                tmp = fname + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(_struct.pack("<I", len(vb)) + vb + pb)
+                os.replace(tmp, fname)
+            except Exception:
+                pass
     return cache[public_input_size]
 
 

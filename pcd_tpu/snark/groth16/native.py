@@ -102,8 +102,10 @@ class Groth16:
         vec = DevicePointVec(curve, arrays)
         return vec.to_host() if as_host else vec
 
-    def _msm_any(self, query, scalars):
-        """MSM dispatch: host point list or DevicePointVec."""
+    def _msm_any(self, query, scalars, digits=None):
+        """MSM dispatch: host point list or DevicePointVec.  `digits` may
+        carry precomputed window digits (shared across the A/B1/B2 MSMs,
+        which use the same scalar vector z)."""
         import numpy as np
 
         from ...ops.fixed_base import DevicePointVec
@@ -114,7 +116,8 @@ class Groth16:
             from ...ops.msm_tensor import msm_ctx
 
             mctx = msm_ctx(query.curve, self.Fr.BITS)
-            digits = jnp.asarray(mctx.digits_from_ints(scalars))
+            if digits is None:
+                digits = jnp.asarray(mctx.digits_from_ints(scalars))
             out = mctx.msm_digits_padded(query.arrays, digits)
             return mctx.ec.decode_point(tuple(np.asarray(c) for c in out))
         nz = [(pt, s) for pt, s in zip(query, scalars) if s]
@@ -301,12 +304,24 @@ class Groth16:
             return self._prove_commit(pk, cs, z, h, r, s)
 
     def _prove_commit(self, pk, cs, z, h, r, s):
+        from ...ops.fixed_base import DevicePointVec
+
         n_inst = cs.num_instance
         p = self.Fr.MODULUS
-        g_a = pk.vk.alpha_g1 + self._msm_any(pk.a_query, z) + pk.delta_g1 * r
-        g_b2 = pk.vk.beta_g2 + self._msm_any(pk.b_g2_query, z) \
+        z_digits = None
+        if isinstance(pk.a_query, DevicePointVec):
+            import jax.numpy as jnp
+
+            from ...ops.msm_tensor import msm_ctx
+
+            mctx = msm_ctx(pk.a_query.curve, self.Fr.BITS)
+            z_digits = jnp.asarray(mctx.digits_from_ints(z))
+        g_a = pk.vk.alpha_g1 + self._msm_any(pk.a_query, z, z_digits) \
+            + pk.delta_g1 * r
+        g_b2 = pk.vk.beta_g2 + self._msm_any(pk.b_g2_query, z, z_digits) \
             + pk.vk.delta_g2 * s
-        g_b1 = pk.beta_g1 + self._msm_any(pk.b_g1_query, z) + pk.delta_g1 * s
+        g_b1 = pk.beta_g1 + self._msm_any(pk.b_g1_query, z, z_digits) \
+            + pk.delta_g1 * s
 
         from ...ops.fixed_base import DevicePointVec
 

@@ -256,3 +256,69 @@ def pcd_proof_from_bytes(pcd, data: bytes):
     if tag == b"MRL":
         return marlin_proof_from_bytes(help_cfg, body)
     raise ValueError(f"unknown proof tag {tag!r}")
+
+
+def marlin_vk_to_bytes(vk) -> bytes:
+    out = []
+    for nm in sorted(vk.index_comms):
+        _write_point(out, vk.index_comms[nm].c)
+    _write_point(out, vk.srs_h)
+    _write_point(out, vk.srs_tau_h)
+    _write_point(out, vk.srs_g)
+    out.append(struct.pack("<5Q", vk.n, vk.k_size, vk.input_size,
+                           vk.num_instance, vk.max_degree))
+    return b"".join(out)
+
+
+def marlin_vk_from_bytes(cfg, data: bytes):
+    from ..snark.marlin.kzg import KZGCommitment
+    from ..snark.marlin.native import MarlinIndexVK
+
+    names = sorted([f"{kind}_{m}" for kind in ("row", "col", "val")
+                    for m in "ABC"])
+    off = 0
+    comms = {}
+    for nm in names:
+        p, off = _read_point(cfg.g1, data, off)
+        comms[nm] = KZGCommitment(c=p)
+    h, off = _read_point(cfg.g2, data, off)
+    tau_h, off = _read_point(cfg.g2, data, off)
+    g, off = _read_point(cfg.g1, data, off)
+    n, k, hx, ninst, d = struct.unpack_from("<5Q", data, off)
+    return MarlinIndexVK(index_comms=comms, n=n, k_size=k, input_size=hx,
+                         num_instance=ninst, srs_h=h, srs_tau_h=tau_h,
+                         srs_g=g, max_degree=d)
+
+
+_SCHEME_SERIALIZERS = {
+    "Groth16": (groth16_vk_to_bytes, groth16_vk_from_bytes,
+                groth16_proof_to_bytes, groth16_proof_from_bytes),
+    "GM17": (gm17_vk_to_bytes, gm17_vk_from_bytes,
+             gm17_proof_to_bytes, gm17_proof_from_bytes),
+    "MarlinSNARK": (marlin_vk_to_bytes, marlin_vk_from_bytes,
+                    None, None),  # proof needs Fr: handled below
+}
+
+
+def snark_vk_to_bytes(snark, vk) -> bytes:
+    name = type(snark).__name__
+    return _SCHEME_SERIALIZERS[name][0](vk)
+
+
+def snark_vk_from_bytes(snark, data: bytes):
+    name = type(snark).__name__
+    return _SCHEME_SERIALIZERS[name][1](snark.cfg, data)
+
+
+def snark_proof_to_bytes(snark, proof) -> bytes:
+    name = type(snark).__name__
+    if name == "MarlinSNARK":
+        return marlin_proof_to_bytes(proof, snark.cfg.Fr)
+    return _SCHEME_SERIALIZERS[name][2](proof)
+
+
+def snark_proof_from_bytes(snark, data: bytes):
+    name = type(snark).__name__
+    if name == "MarlinSNARK":
+        return marlin_proof_from_bytes(snark.cfg, data)
+    return _SCHEME_SERIALIZERS[name][3](snark.cfg, data)
