@@ -116,7 +116,8 @@ def test_symbolic_tower_matches_host():
     cfg = M.toy_mnt4()
     cs, V = fresh(cfg.Fq)
     E_host = cfg.Fq_k
-    E_sym = make_ext_field(V, 2, (cfg.Fq.from_int(5).n, ), "symFq2")
+    nr = cfg.Fq_half.NR.n
+    E_sym = make_ext_field(V, 2, (nr,), "symFq2")
     # build host Fq2 with same NR for comparison
     E2_host = cfg.Fq_half
     a_h, b_h = E2_host.rand(rng), E2_host.rand(rng)
