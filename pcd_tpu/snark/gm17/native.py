@@ -75,13 +75,23 @@ class GM17PK:
 
 
 class GM17:
-    def __init__(self, curve_cfg):
+    DEVICE_THRESHOLD = 60000  # SAP rows (~2x R1CS rows) above this use device
+
+    def __init__(self, curve_cfg, backend: str = "auto"):
         self.cfg = curve_cfg
         self.Fr = curve_cfg.Fr
+        self.backend = backend
         from ...pairing.ate import pairing_for
 
         self.pairing = pairing_for(curve_cfg)
         self.msm = host_msm
+
+    def _use_device(self, n_rows: int) -> bool:
+        if self.backend == "host":
+            return False
+        if self.backend == "device":
+            return True
+        return n_rows >= self.DEVICE_THRESHOLD
 
     # -- R1CS -> SAP ----------------------------------------------------
     def _sap_rows(self, cs: ConstraintSystem):
@@ -168,35 +178,46 @@ class GM17:
         gamma_inv = pow(gamma, -1, p)
         delta_inv = pow(delta, -1, p)
 
-        g1 = self.cfg.g1_gen
-        g2 = self.cfg.g2_gen
-        t1 = FixedBaseTable(g1, self.Fr.BITS, window=8)
-        t2 = FixedBaseTable(g2, self.Fr.BITS, window=8)
+        from ..msm_dispatch import fb_mul
 
-        query = [t1.mul((2 * alpha * a_of[i] + c_of[i]) % p * gamma_inv % p)
-                 for i in range(n_inst)]
-        c_query = [t1.mul((2 * alpha * a_of[i] + c_of[i]) % p * delta_inv % p)
-                   for i in range(n_inst, num_sap_vars)]
-        a_query = [t1.mul(a_of[i]) for i in range(num_sap_vars)]
-        b_query = [t2.mul(a_of[i]) for i in range(num_sap_vars)]
-        h_query = []
+        force_host = not self._use_device(len(rows))
+        h_scalars = []
         cur = zt * delta_inv % p
         for _ in range(domain.n - 1):
-            h_query.append(t1.mul(cur))
+            h_scalars.append(cur)
             cur = cur * s % p
 
+        query = fb_mul(self.cfg, "g1",
+                       [(2 * alpha * a_of[i] + c_of[i]) % p * gamma_inv % p
+                        for i in range(n_inst)], self.Fr.BITS,
+                       as_host=True, force_host=True)
+        c_query = fb_mul(self.cfg, "g1",
+                         [(2 * alpha * a_of[i] + c_of[i]) % p * delta_inv % p
+                          for i in range(n_inst, num_sap_vars)],
+                         self.Fr.BITS, force_host=force_host)
+        a_query = fb_mul(self.cfg, "g1", a_of, self.Fr.BITS,
+                         force_host=force_host)
+        b_query = fb_mul(self.cfg, "g2", a_of, self.Fr.BITS,
+                         force_host=force_host)
+        h_query = fb_mul(self.cfg, "g1", h_scalars, self.Fr.BITS,
+                         force_host=force_host)
+        small1 = fb_mul(self.cfg, "g1", [alpha, gamma, delta], self.Fr.BITS,
+                        as_host=True, force_host=True)
+        small2 = fb_mul(self.cfg, "g2", [alpha, gamma, delta], self.Fr.BITS,
+                        as_host=True, force_host=True)
+
         vk = GM17VK(
-            alpha_g1=t1.mul(alpha),
-            alpha_g2=t2.mul(alpha),
-            gamma_g1=t1.mul(gamma),
-            gamma_g2=t2.mul(gamma),
-            delta_g2=t2.mul(delta),
+            alpha_g1=small1[0],
+            alpha_g2=small2[0],
+            gamma_g1=small1[1],
+            gamma_g2=small2[1],
+            delta_g2=small2[2],
             query=query,
         )
         pk = GM17PK(
             vk=vk,
-            delta_g1=t1.mul(delta),
-            delta_g2=t2.mul(delta),
+            delta_g1=small1[2],
+            delta_g2=small2[2],
             a_query=a_query,
             b_query=b_query,
             c_query=c_query,
@@ -228,30 +249,46 @@ class GM17:
         for j, (ra, rc) in enumerate(rows):
             a_ev[j] = sum(co * z[col] for col, co in ra.items()) % p
             c_ev[j] = sum(co * z[col] for col, co in rc.items()) % p
-        a_poly = domain.ifft(a_ev)
-        c_poly = domain.ifft(c_ev)
-        a_cos = domain.coset_fft(a_poly)
-        c_cos = domain.coset_fft(c_poly)
-        zh_inv = pow(domain.vanishing_poly_at(domain.coset_shift), -1, p)
-        h_cos = [(a_cos[i] * a_cos[i] - c_cos[i]) % p * zh_inv % p
-                 for i in range(domain.n)]
-        h = domain.coset_ifft(h_cos)[: domain.n - 1]
+        device = self._use_device(len(rows))
+        if device:
+            import jax.numpy as jnp
+            import numpy as np
+
+            from ...ops.fft_tensor import fft_ctx
+
+            fctx = fft_ctx(self.Fr, domain.n)
+            evs = jnp.asarray(np.stack([fctx.encode(v)
+                                        for v in (a_ev, c_ev)]))
+            ap = fctx.coset_fft(fctx.ifft(evs))
+            prod = fctx.fp.sub(fctx.fp.mont_mul(ap[0], ap[0]), ap[1])
+            zh_inv = pow(domain.vanishing_poly_at(domain.coset_shift), -1, p)
+            zh = jnp.asarray(fctx.fp.to_mont_host(zh_inv))
+            h_cos = fctx.fp.mont_mul(prod, jnp.broadcast_to(zh, prod.shape))
+            h = fctx.decode(fctx.coset_ifft(h_cos))[: domain.n - 1]
+        else:
+            a_poly = domain.ifft(a_ev)
+            c_poly = domain.ifft(c_ev)
+            a_cos = domain.coset_fft(a_poly)
+            c_cos = domain.coset_fft(c_poly)
+            zh_inv = pow(domain.vanishing_poly_at(domain.coset_shift), -1, p)
+            h_cos = [(a_cos[i] * a_cos[i] - c_cos[i]) % p * zh_inv % p
+                     for i in range(domain.n)]
+            h = domain.coset_ifft(h_cos)[: domain.n - 1]
 
         r = rng.randrange(p)
 
-        g_a = pk.vk.alpha_g1 + self.msm(pk.a_query, z) + pk.delta_g1 * r
-        g_b = pk.vk.alpha_g2 + self.msm(pk.b_query, z) + pk.delta_g2 * r
+        from ..msm_dispatch import msm_any
+
+        g_a = pk.vk.alpha_g1 + msm_any(pk.a_query, z, self.Fr.BITS) \
+            + pk.delta_g1 * r
+        g_b = pk.vk.alpha_g2 + msm_any(pk.b_query, z, self.Fr.BITS) \
+            + pk.delta_g2 * r
 
         # C = sum_wit z_i (2 alpha a_i + c_i)/delta + h Z/delta
-        #     + r (2 alpha/delta * delta ... ) expanded:
-        #     + r * (2 alpha + 2 a(s)) + r^2 delta   [all as G1 combos]
-        c_acc = self.msm(pk.c_query, z[n_inst:])
-        nz = [(pt, co) for pt, co in zip(pk.h_query, h) if co]
-        if nz:
-            c_acc = c_acc + self.msm([a for a, _ in nz], [b for _, b in nz])
-        # randomizer contribution: r delta (2 alpha + 2 a + r delta)/delta
-        #   = 2r*alpha + 2r*a(s) + r^2*delta
-        a_part = self.msm(pk.a_query, z)  # G^{a(s)}
+        #     + r * (2 alpha + 2 a(s)) + r^2 delta
+        c_acc = msm_any(pk.c_query, z[n_inst:], self.Fr.BITS)
+        c_acc = c_acc + msm_any(pk.h_query, h, self.Fr.BITS)
+        a_part = msm_any(pk.a_query, z, self.Fr.BITS)  # G^{a(s)}
         c_acc = c_acc + (pk.vk.alpha_g1 * (2 * r % p)) \
             + (a_part * (2 * r % p)) + (pk.delta_g1 * (r * r % p))
         return GM17Proof(a=g_a, b=g_b, c=c_acc)

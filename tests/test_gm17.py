@@ -107,3 +107,18 @@ def test_toy_pcd_chain_gm17_and_mixed(mk):
     p2 = pcd.prove(pk, pred, two, one, [one], [p1], rng)
     assert pcd.verify(vk, pred, two, p2)
     assert not pcd.verify(vk, pred, one, p2)
+
+
+def test_gm17_device_backend():
+    cfg = M.toy_mnt4()
+    gm = GM17(cfg, backend="device")
+    rng = ChaChaRng(b"gm17 dev")
+    pk, vk = gm.circuit_specific_setup(MulCircuit(), rng)
+    proof = gm.prove(pk, MulCircuit(4, 6), rng)
+    x = cfg.Fr.from_int(24)
+    assert gm.verify(vk, [x], proof)
+    # same-seed host setup -> identical vk
+    gmh = GM17(cfg, backend="host")
+    pkh, vkh = gmh.circuit_specific_setup(MulCircuit(), ChaChaRng(b"gm17 dev"))
+    assert vkh.alpha_g1 == vk.alpha_g1 and vkh.query == vk.query
+    assert gmh.verify(vkh, [x], proof)
