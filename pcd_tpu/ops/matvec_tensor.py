@@ -1,0 +1,104 @@
+"""Device sparse matrix-vector products over prime fields (SURVEY.md:
+'R1CS witness generation sharded over constraints' — the Az/Bz/Cz row
+evaluations feeding the QAP/SAP provers).
+
+COO entries (sorted by row) are evaluated as  terms = val * z[col]  with a
+segmented modular sum (flag + associative scan — same branch-free pattern
+as the MSM bucket stage), then segment ends are scattered to rows.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .limbs import ctx_for, ints_to_limbs_np
+
+
+class SparseMatVec:
+    """One sparse matrix (rows x cols) over Fp, device-resident."""
+
+    def __init__(self, F, rows_idx, cols_idx, vals, n_rows: int):
+        """rows_idx must be sorted ascending; vals are ints mod p."""
+        self.fp = ctx_for(F.MODULUS)
+        self.F = F
+        self.n_rows = n_rows
+        n = len(rows_idx)
+        # pad nnz to a power of two (rows -> n_rows sentinel, val 0)
+        m = 1
+        while m < max(n, 2):
+            m *= 2
+        pad = m - n
+        self.rows = jnp.asarray(np.concatenate(
+            [np.asarray(rows_idx, np.int32),
+             np.full(pad, n_rows, np.int32)]))
+        self.cols = jnp.asarray(np.concatenate(
+            [np.asarray(cols_idx, np.int32), np.zeros(pad, np.int32)]))
+        vals_mont = ints_to_limbs_np(
+            [v * self.fp.R % self.fp.p for v in vals] + [0] * pad, self.fp.k)
+        self.vals = jnp.asarray(vals_mont)
+        # segment flags: first entry of each run of equal rows
+        ri = np.concatenate([np.asarray(rows_idx, np.int32),
+                             np.full(pad, n_rows, np.int32)])
+        prev = np.concatenate([[-1], ri[:-1]])
+        self.flags = jnp.asarray(ri != prev)
+        is_end = np.concatenate([ri[1:] != ri[:-1], [True]])
+        self.end_positions = jnp.asarray(is_end)
+
+    @partial(jax.jit, static_argnums=0)
+    def apply(self, z_mont):
+        """z_mont: (n_cols, K) Montgomery limbs -> (n_rows_pad, K) row sums
+        in Montgomery form (rows without entries = 0)."""
+        fp = self.fp
+        terms = fp.mont_mul(self.vals, z_mont[self.cols])
+
+        def comb(a, b):
+            fa, va = a
+            fb, vb = b
+            s = fp.add(va, vb)
+            v = fp.select(fb, vb, s)
+            return (fa | fb, v)
+
+        _, scanned = jax.lax.associative_scan(
+            comb, (self.flags, terms), axis=0)
+        # scatter segment totals (at end positions) into rows
+        out = jnp.zeros((self.n_rows + 1, fp.k), dtype=jnp.uint32)
+        idx = jnp.where(self.end_positions, self.rows,
+                        jnp.int32(self.n_rows))
+        out = out.at[idx].set(scanned)
+        return out[: self.n_rows]
+
+
+@lru_cache(maxsize=None)
+def _noop():
+    return None
+
+
+def matrices_to_device(F, rows, n_rows: int, n_cols: int):
+    """rows: list of (a_lc, b_lc, c_lc) dicts in column space ->
+    three SparseMatVec objects (COO row-major)."""
+    out = []
+    for k in range(3):
+        ri, ci, vi = [], [], []
+        for r, row in enumerate(rows):
+            for c, v in sorted(row[k].items()):
+                if v % F.MODULUS:
+                    ri.append(r)
+                    ci.append(c)
+                    vi.append(v % F.MODULUS)
+        out.append(SparseMatVec(F, ri, ci, vi, n_rows))
+    return tuple(out)
+
+
+def eval_rows_device(mats, z_ints, F):
+    """Az, Bz, Cz as int lists (length n_rows) via the device matvecs."""
+    fp = ctx_for(F.MODULUS)
+    z_mont = jnp.asarray(fp.encode(z_ints))
+    outs = []
+    for m in mats:
+        res = m.apply(z_mont)
+        outs.append(fp.decode(np.asarray(res)))
+    return outs

@@ -284,16 +284,41 @@ class Groth16:
         n_inst = cs.num_instance
 
         # h(x) = (A(x) B(x) - C(x)) / Z_H(x) via coset evaluation
-        a_ev = [0] * domain.n
-        b_ev = [0] * domain.n
-        c_ev = [0] * domain.n
-        for j, (ra, rb, rc) in enumerate(rows):
-            a_ev[j] = sum(co * z[col] for col, co in ra.items()) % p
-            b_ev[j] = sum(co * z[col] for col, co in rb.items()) % p
-            c_ev[j] = sum(co * z[col] for col, co in rc.items()) % p
         device = self._use_device(len(rows))
         with span("groth16/h_poly"):
-            h = self._h_poly(domain, a_ev, b_ev, c_ev, device)
+            if device:
+                # device sparse matvec feeding the device FFT (no host
+                # roundtrip of the evaluation vectors)
+                import jax.numpy as jnp
+
+                from ...ops.fft_tensor import fft_ctx
+                from ...ops.matvec_tensor import matrices_to_device
+
+                mats = getattr(pk, "_dev_mats", None)
+                if mats is None:
+                    mats = matrices_to_device(self.Fr, rows, domain.n,
+                                              num_vars)
+                    pk._dev_mats = mats
+                fctx = fft_ctx(self.Fr, domain.n)
+                z_mont = jnp.asarray(fctx.fp.encode(z))
+                evs = jnp.stack([m.apply(z_mont) for m in mats])
+                ap = fctx.coset_fft(fctx.ifft(evs))
+                prod = fctx.fp.sub(fctx.fp.mont_mul(ap[0], ap[1]), ap[2])
+                zh_inv = pow(domain.vanishing_poly_at(domain.coset_shift),
+                             -1, p)
+                zh = jnp.asarray(fctx.fp.to_mont_host(zh_inv))
+                h_cos = fctx.fp.mont_mul(prod,
+                                         jnp.broadcast_to(zh, prod.shape))
+                h = fctx.decode(fctx.coset_ifft(h_cos))
+            else:
+                a_ev = [0] * domain.n
+                b_ev = [0] * domain.n
+                c_ev = [0] * domain.n
+                for j, (ra, rb, rc) in enumerate(rows):
+                    a_ev[j] = sum(co * z[col] for col, co in ra.items()) % p
+                    b_ev[j] = sum(co * z[col] for col, co in rb.items()) % p
+                    c_ev[j] = sum(co * z[col] for col, co in rc.items()) % p
+                h = self._h_poly(domain, a_ev, b_ev, c_ev, False)
         # degree of h is n-2; drop the top coefficient (must be ~0)
         h = h[: domain.n - 1]
 

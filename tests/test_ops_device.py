@@ -209,3 +209,24 @@ def test_sharded_msm_virtual_mesh():
     ds = shard_batch(jnp.asarray(digits), mesh, "shard", 1)
     out = run((Xs, Ys, Zs), ds)
     assert ctx.ec.decode_point(out) == host_msm(pts, scalars)
+
+
+def test_sparse_matvec_matches_host():
+    from pcd_tpu.ops.matvec_tensor import eval_rows_device, matrices_to_device
+
+    F = M.toy_mnt4().Fr
+    p = F.MODULUS
+    n_rows, n_cols = 37, 23
+    rows = []
+    for r in range(n_rows):
+        def mk():
+            return {rng.randrange(n_cols): rng.randrange(p)
+                    for _ in range(rng.randrange(4))}
+        rows.append((mk(), mk(), mk()))
+    z = [rng.randrange(p) for _ in range(n_cols)]
+    mats = matrices_to_device(F, rows, n_rows, n_cols)
+    got = eval_rows_device(mats, z, F)
+    for k in range(3):
+        want = [sum(co * z[c] for c, co in rows[j][k].items()) % p
+                for j in range(n_rows)]
+        assert got[k] == want, f"matrix {k}"
