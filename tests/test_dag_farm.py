@@ -77,3 +77,27 @@ def test_farm_multiprocess():
                    predicate_builder=_tree_predicate_builder)
     proofs = farm.run(dag)
     assert pcd.verify(vk, pred, F.from_int(10), proofs["root"])
+
+
+class Counter1(FpPredicate):
+    PRIOR_MSG_LEN = 1
+
+    def generate_constraints(self, cs, msg, wit, priors, base):
+        (priors[0] + wit).enforce_equal(msg)
+
+
+@pytest.mark.pcd_toy
+def test_pipelined_chain_prover():
+    from pcd_tpu.parallel.pipeline import PipelinedChainProver
+
+    pcd = configs.toy_groth16()
+    F = pcd.ic.main_field
+    pred = Counter1(F)
+    pk, vk = pcd.circuit_specific_setup(pred, ChaChaRng(b"pipe"))
+    msgs = [F.from_int(1), F.from_int(2), F.from_int(3)]
+    wits = [F.from_int(1)] * 3
+    runner = PipelinedChainProver(pcd, pred, pk)
+    proofs = runner.prove_chain(msgs, wits)
+    for m, pf in zip(msgs, proofs):
+        assert pcd.verify(vk, pred, m, pf)
+    assert not pcd.verify(vk, pred, msgs[0], proofs[2])
