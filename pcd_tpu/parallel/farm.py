@@ -138,8 +138,26 @@ class DagFarm:
                         [dag.nodes[p].msg.n for p in node.priors],
                         [blobs[p] for p in node.priors],
                         rng_seed + nid.encode()))
-                for nid, blob in pool.map(_worker_prove, jobs):
-                    blobs[nid] = blob
+                # failure handling: one retry per node (worker crash /
+                # transient device error); node proofs are deterministic
+                # given the rng seed, so retries are safe
+                futures = {pool.submit(_worker_prove, j): j for j in jobs}
+                import concurrent.futures as _cf
+
+                retried = set()
+                while futures:
+                    done, _ = _cf.wait(futures,
+                                       return_when=_cf.FIRST_COMPLETED)
+                    for fut in done:
+                        job = futures.pop(fut)
+                        try:
+                            nid, blob = fut.result()
+                            blobs[nid] = blob
+                        except Exception:
+                            if job[0] in retried:
+                                raise
+                            retried.add(job[0])
+                            futures[pool.submit(_worker_prove, job)] = job
             for nid, blob in blobs.items():
                 proofs[nid] = pcd_proof_from_bytes(self.pcd, blob)
         return proofs
