@@ -230,3 +230,20 @@ def test_sparse_matvec_matches_host():
         want = [sum(co * z[c] for c, co in rows[j][k].items()) % p
                 for j in range(n_rows)]
         assert got[k] == want, f"matrix {k}"
+
+
+def test_distributed_fft_all_to_all():
+    """4-step FFT across the virtual 8-device mesh vs the host oracle."""
+    from pcd_tpu.parallel.fft import DistributedFFT
+    from pcd_tpu.parallel.mesh import make_mesh
+    from pcd_tpu.poly.domain import EvaluationDomain
+
+    F = M.toy_mnt4().Fr
+    mesh = make_mesh(8)
+    n1, n2 = 16, 32
+    dfft = DistributedFFT(F, n1, n2, mesh)
+    coeffs = [rng.randrange(F.MODULUS) for _ in range(n1 * n2)]
+    got = dfft.fft(coeffs)
+    dom = EvaluationDomain(F, n1 * n2)
+    want = dom.fft(coeffs)
+    assert got == want
