@@ -28,8 +28,33 @@ from dataclasses import dataclass, field
 from ...poly.domain import EvaluationDomain, batch_inverse, poly_eval
 
 
+_DEVICE_FFT_THRESHOLD = 16384
+
+
+def fft_any(F, coeffs_or_evals, size: int, direction: str, coset: bool = False):
+    """Size-dispatching transform: host mixed-radix for small sizes, the
+    device FFT (pcd_tpu/ops/fft_tensor.py) for large ones."""
+    dom = EvaluationDomain(F, size)
+    vec = list(coeffs_or_evals) + [0] * (size - len(coeffs_or_evals))
+    if size < _DEVICE_FFT_THRESHOLD:
+        if direction == "fft":
+            return dom.coset_fft(vec) if coset else dom.fft(vec)
+        return dom.coset_ifft(vec) if coset else dom.ifft(vec)
+    import jax.numpy as jnp
+
+    from ...ops.fft_tensor import fft_ctx
+
+    fctx = fft_ctx(F, size)
+    a = jnp.asarray(fctx.encode(vec))
+    if direction == "fft":
+        out = fctx.coset_fft(a) if coset else fctx.fft(a)
+    else:
+        out = fctx.coset_ifft(a) if coset else fctx.ifft(a)
+    return fctx.decode(out)
+
+
 def poly_mul_fft(F, a, b):
-    """FFT-based polynomial product (host)."""
+    """FFT-based polynomial product (host/device size dispatch)."""
     if not a or not b:
         return []
     need = len(a) + len(b) - 1
@@ -42,9 +67,21 @@ def poly_mul_fft(F, a, b):
                     out[i + j] = (out[i + j] + ai * bj) % p
         return out
     d = EvaluationDomain.new(F, need)
+    p = F.MODULUS
+    if d.n >= _DEVICE_FFT_THRESHOLD:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ...ops.fft_tensor import fft_ctx
+
+        fctx = fft_ctx(F, d.n)
+        ab = np.stack([fctx.encode(list(a) + [0] * (d.n - len(a))),
+                       fctx.encode(list(b) + [0] * (d.n - len(b)))])
+        ev = fctx.fft(jnp.asarray(ab))
+        prod = fctx.fp.mont_mul(ev[0], ev[1])
+        return fctx.decode(fctx.ifft(prod))[:need]
     ea = d.fft(list(a) + [0] * (d.n - len(a)))
     eb = d.fft(list(b) + [0] * (d.n - len(b)))
-    p = F.MODULUS
     prod = [x * y % p for x, y in zip(ea, eb)]
     return d.ifft(prod)[:need]
 
@@ -161,7 +198,9 @@ class AHP:
             # so that sigma_3 = r(alpha, beta_1) exactly)
             val_e = [v * Hel[c] % p * ninv % p for (_, c, v) in entries]
             mats[name] = MatrixArith(
-                row=K.ifft(row_e), col=K.ifft(col_e), val=K.ifft(val_e),
+                row=fft_any(self.F, row_e, K.n, "ifft"),
+                col=fft_any(self.F, col_e, K.n, "ifft"),
+                val=fft_any(self.F, val_e, K.n, "ifft"),
                 row_evals=row_e, col_evals=col_e, val_evals=val_e)
             raw[name] = entries
         return AHPIndex(n=n, k_size=K.n, input_size=hx,
@@ -194,7 +233,7 @@ class AHP:
         p = self.p
         H = self.domain(index.n)
         zfull = self.z_on_H(index, z)
-        z_coeffs = H.ifft(zfull)
+        z_coeffs = fft_any(self.F, zfull, H.n, "ifft")
         xhat = self.x_poly(index, z[: index.num_instance])
         diff = poly_add(z_coeffs, poly_scale(xhat, p - 1, p), p)
         # divide by v_Hx = X^hx - 1
@@ -234,7 +273,8 @@ class AHP:
             for r, row in enumerate(cs_rows):
                 mz[r] = sum(co * zvals[c] for c, co in row[mi].items()) % p
             evs[name] = mz
-        zh = {name: H.ifft(evs[name]) for name in "ABC"}
+        zh = {name: fft_any(self.F, evs[name], H.n, "ifft")
+              for name in "ABC"}
         xhat, what = self.z_poly_parts(index, z)
         # rowcheck: zhat_A zhat_B - zhat_C = h_0 v_H
         prod = poly_mul_fft(self.F, zh["A"], zh["B"])
@@ -276,7 +316,7 @@ class AHP:
         zhat_evals = None
         # q1 -= r(alpha,X) * zhat(X): compute r*zhat in evaluation form on a
         # larger domain
-        r_coeffs = H.ifft(r_evals)
+        r_coeffs = fft_any(self.F, r_evals, H.n, "ifft")
         zhat = poly_add(polys["_xhat"],
                         poly_mul_fft(self.F,
                                      [p - 1] + [0] * (index.input_size - 1) + [1],
@@ -317,7 +357,7 @@ class AHP:
             binv = batch_inverse(b_ev, p)
             f = [a_ev[i] * binv[i] % p for i in range(K.n)]
             sigma_m = sum(f) % p
-            f_coeffs = K.ifft(f)
+            f_coeffs = fft_any(self.F, f, K.n, "ifft")
             assert f_coeffs[0] == sigma_m * kinv % p
             g_m = f_coeffs[1:]
             # h_M: a_M - b_M (X g_M + sigma_M/|K|) = h_M v_K  (product form)
