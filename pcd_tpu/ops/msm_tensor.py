@@ -31,6 +31,10 @@ from .limbs import LIMB_BITS
 
 
 class MSMTensorCtx:
+    # windows processed together (vmapped) per outer step; bounds peak
+    # memory at window_chunk copies of the point set
+    WINDOW_CHUNK = 8
+
     def __init__(self, curve, scalar_bits: int, c: int = 8):
         assert LIMB_BITS % c == 0, "window must divide limb size"
         self.ec: ECTensorCtx = ec_ctx(curve)
@@ -66,7 +70,7 @@ class MSMTensorCtx:
         n = digits.shape[1]
         nbuckets = 1 << self.c
 
-        def window_body(carry, digits_w):
+        def window_body(digits_w):
             order = jnp.argsort(digits_w)
             d_sorted = digits_w[order]
             Xs = P[0][order]
@@ -107,10 +111,21 @@ class MSMTensorCtx:
             # window sum = sum of all suffix sums
             TX, TY, TZ = jax.lax.associative_scan(
                 comb2, (RX, RY, RZ), axis=0)
-            wsum = (TX[-1], TY[-1], TZ[-1])
-            return carry, wsum
+            return (TX[-1], TY[-1], TZ[-1])
 
-        _, wsums = jax.lax.scan(window_body, 0, digits)
+        # windows processed in vmapped chunks: the per-window small ops
+        # (bucket scans, sorts) batch across windows instead of running as
+        # a long sequential scan of tiny kernels
+        W = self.WINDOW_CHUNK
+        chunks = []
+        vbody = jax.vmap(window_body)
+        for s in range(0, self.nwin, W):
+            chunk = digits[s : s + W]
+            if chunk.shape[0] < W:
+                chunk = jnp.pad(chunk, [(0, W - chunk.shape[0]), (0, 0)])
+            chunks.append(vbody(chunk))
+        wsums = tuple(jnp.concatenate([c[i] for c in chunks], axis=0)
+                      for i in range(3))
 
         # Horner combine from MSB window down
         def horner(i, acc):
