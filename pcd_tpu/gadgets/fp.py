@@ -135,15 +135,13 @@ class FpVarBase:
             o = cls.constant(o)
         if self.lc is None and o.lc is None:
             return cls(None, (self.val + o.val) % self.MODULUS)
-        p = self.MODULUS
+        # lazy coefficients: no per-key mod (consumers reduce); additive
+        # growth only, so magnitudes stay tiny multiples of p
         lc = dict(self._as_lc())
         for v, c in o._as_lc().items():
-            nc = (lc.get(v, 0) + c) % p
-            if nc:
-                lc[v] = nc
-            elif v in lc:
-                del lc[v]
-        return cls(lc, (self.val + o.val) % p)
+            x = lc.get(v)
+            lc[v] = c if x is None else x + c
+        return cls(lc, (self.val + o.val) % self.MODULUS)
 
     def __sub__(self, o):
         return self + (-o)
@@ -152,9 +150,8 @@ class FpVarBase:
         cls = type(self)
         if self.lc is None:
             return cls(None, (-self.val) % self.MODULUS)
-        p = self.MODULUS
-        return cls({v: (-c) % p for v, c in self.lc.items()},
-                   (-self.val) % p)
+        return cls({v: -c for v, c in self.lc.items()},
+                   (-self.val) % self.MODULUS)
 
     def double(self):
         return self + self
