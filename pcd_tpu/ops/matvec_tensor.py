@@ -48,33 +48,32 @@ class SparseMatVec:
         is_end = np.concatenate([ri[1:] != ri[:-1], [True]])
         self.end_positions = jnp.asarray(is_end)
 
-    @partial(jax.jit, static_argnums=0)
     def apply(self, z_mont):
         """z_mont: (n_cols, K) Montgomery limbs -> (n_rows_pad, K) row sums
-        in Montgomery form (rows without entries = 0)."""
-        fp = self.fp
-        terms = fp.mont_mul(self.vals, z_mont[self.cols])
+        in Montgomery form (rows without entries = 0).
 
-        def comb(a, b):
-            fa, va = a
-            fb, vb = b
-            s = fp.add(va, vb)
-            v = fp.select(fb, vb, s)
-            return (fa | fb, v)
-
-        _, scanned = jax.lax.associative_scan(
-            comb, (self.flags, terms), axis=0)
-        # scatter segment totals (at end positions) into rows
-        out = jnp.zeros((self.n_rows + 1, fp.k), dtype=jnp.uint32)
-        idx = jnp.where(self.end_positions, self.rows,
-                        jnp.int32(self.n_rows))
-        out = out.at[idx].set(scanned)
-        return out[: self.n_rows]
+        The COO arrays are passed as jit ARGUMENTS (a captured-constant
+        formulation bakes gigabytes into the lowered program)."""
+        return _apply_jit(self.fp, self.n_rows, self.rows, self.cols,
+                          self.vals, self.flags, self.end_positions, z_mont)
 
 
-@lru_cache(maxsize=None)
-def _noop():
-    return None
+@partial(jax.jit, static_argnums=(0, 1))
+def _apply_jit(fp, n_rows, rows, cols, vals, flags, end_positions, z_mont):
+    terms = fp.mont_mul(vals, z_mont[cols])
+
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        s = fp.add(va, vb)
+        v = fp.select(fb, vb, s)
+        return (fa | fb, v)
+
+    _, scanned = jax.lax.associative_scan(comb, (flags, terms), axis=0)
+    out = jnp.zeros((n_rows + 1, fp.k), dtype=jnp.uint32)
+    idx = jnp.where(end_positions, rows, jnp.int32(n_rows))
+    out = out.at[idx].set(scanned)
+    return out[: n_rows]
 
 
 def matrices_to_device(F, rows, n_rows: int, n_cols: int):
