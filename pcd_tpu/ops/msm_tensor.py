@@ -115,8 +115,15 @@ class MSMTensorCtx:
 
         # windows processed in vmapped chunks: the per-window small ops
         # (bucket scans, sorts) batch across windows instead of running as
-        # a long sequential scan of tiny kernels
-        W = self.WINDOW_CHUNK
+        # a long sequential scan of tiny kernels.  The chunk width shrinks
+        # with the point count to bound program size / working set (big-n
+        # vmapped programs stall the compiler).
+        if n <= (1 << 14):
+            W = self.WINDOW_CHUNK
+        elif n <= (1 << 16):
+            W = 2
+        else:
+            W = 1
         chunks = []
         vbody = jax.vmap(window_body)
         for s in range(0, self.nwin, W):
