@@ -287,21 +287,39 @@ class Groth16:
         device = self._use_device(len(rows))
         with span("groth16/h_poly"):
             if device:
-                # device sparse matvec feeding the device FFT (no host
-                # roundtrip of the evaluation vectors)
                 import jax.numpy as jnp
+                import numpy as np
 
                 from ...ops.fft_tensor import fft_ctx
-                from ...ops.matvec_tensor import matrices_to_device
 
-                mats = getattr(pk, "_dev_mats", None)
-                if mats is None:
-                    mats = matrices_to_device(self.Fr, rows, domain.n,
-                                              num_vars)
-                    pk._dev_mats = mats
                 fctx = fft_ctx(self.Fr, domain.n)
-                z_mont = jnp.asarray(fctx.fp.encode(z))
-                evs = jnp.stack([m.apply(z_mont) for m in mats])
+                nnz = sum(len(r[k]) for r in rows for k in range(3))
+                if nnz <= (1 << 19):
+                    # device sparse matvec feeding the device FFT directly
+                    from ...ops.matvec_tensor import matrices_to_device
+
+                    mats = getattr(pk, "_dev_mats", None)
+                    if mats is None:
+                        mats = matrices_to_device(self.Fr, rows, domain.n,
+                                                  num_vars)
+                        pk._dev_mats = mats
+                    z_mont = jnp.asarray(fctx.fp.encode(z))
+                    evs = jnp.stack([m.apply(z_mont) for m in mats])
+                else:
+                    # huge nnz: the segmented-scan matvec's working set
+                    # exceeds HBM; host row-eval, device FFT
+                    a_ev = [0] * domain.n
+                    b_ev = [0] * domain.n
+                    c_ev = [0] * domain.n
+                    for j, (ra, rb, rc) in enumerate(rows):
+                        a_ev[j] = sum(co * z[col]
+                                      for col, co in ra.items()) % p
+                        b_ev[j] = sum(co * z[col]
+                                      for col, co in rb.items()) % p
+                        c_ev[j] = sum(co * z[col]
+                                      for col, co in rc.items()) % p
+                    evs = jnp.asarray(np.stack(
+                        [fctx.encode(v) for v in (a_ev, b_ev, c_ev)]))
                 ap = fctx.coset_fft(fctx.ifft(evs))
                 prod = fctx.fp.sub(fctx.fp.mont_mul(ap[0], ap[1]), ap[2])
                 zh_inv = pow(domain.vanishing_poly_at(domain.coset_shift),
