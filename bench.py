@@ -25,6 +25,11 @@ def main():
     from pcd_tpu.curves import models as M
     from pcd_tpu.ops.msm_tensor import msm_ctx
 
+    from pcd_tpu.ops.msm_tensor import MSMTensorCtx
+
+    # modest window-chunk: keeps the XLA program small enough to compile
+    # through the TPU tunnel within the driver's budget
+    MSMTensorCtx.WINDOW_CHUNK = 1
     cfg = M.mnt4_298()
     n = 8192
     mctx = msm_ctx(cfg.g1, cfg.Fr.BITS, c=8)
