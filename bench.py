@@ -29,7 +29,7 @@ def main():
 
     # modest window-chunk: keeps the XLA program small enough to compile
     # through the TPU tunnel within the driver's budget
-    MSMTensorCtx.WINDOW_CHUNK = 1
+    MSMTensorCtx.WINDOW_CHUNK = 4
     cfg = M.mnt4_298()
     n = 8192
     mctx = msm_ctx(cfg.g1, cfg.Fr.BITS, c=8)

@@ -113,26 +113,26 @@ class MSMTensorCtx:
                 comb2, (RX, RY, RZ), axis=0)
             return (TX[-1], TY[-1], TZ[-1])
 
-        # windows processed in vmapped chunks: the per-window small ops
-        # (bucket scans, sorts) batch across windows instead of running as
-        # a long sequential scan of tiny kernels.  The chunk width shrinks
-        # with the point count to bound program size / working set (big-n
-        # vmapped programs stall the compiler).
+        # windows processed as a lax.scan over vmapped chunks: ONE traced
+        # body instance (compile-size), W windows batched per step
+        # (amortizes the small per-window ops).  W shrinks with the point
+        # count to bound the working set.
         if n <= (1 << 14):
             W = self.WINDOW_CHUNK
         elif n <= (1 << 16):
             W = 2
         else:
             W = 1
-        chunks = []
+        nw_pad = ((self.nwin + W - 1) // W) * W
+        dpad = jnp.pad(digits, [(0, nw_pad - self.nwin), (0, 0)])
+        dchunks = dpad.reshape(nw_pad // W, W, n)
         vbody = jax.vmap(window_body)
-        for s in range(0, self.nwin, W):
-            chunk = digits[s : s + W]
-            if chunk.shape[0] < W:
-                chunk = jnp.pad(chunk, [(0, W - chunk.shape[0]), (0, 0)])
-            chunks.append(vbody(chunk))
-        wsums = tuple(jnp.concatenate([c[i] for c in chunks], axis=0)
-                      for i in range(3))
+
+        def chunk_step(carry, dw):
+            return carry, vbody(dw)
+
+        _, ws = jax.lax.scan(chunk_step, 0, dchunks)
+        wsums = tuple(w.reshape((nw_pad,) + w.shape[2:]) for w in ws)
 
         # Horner combine from MSB window down
         def horner(i, acc):
