@@ -117,3 +117,60 @@ def test_marlin_proof_is_deterministic_per_rng():
     p1 = m.prove(pk, MulCircuit(), ChaChaRng(b"r"))
     p2 = m.prove(pk, MulCircuit(), ChaChaRng(b"r"))
     assert p1.sigma3 == p2.sigma3 and p1.evals == p2.evals
+
+
+@pytest.mark.slow
+def test_marlin_universal_pcd_toy():
+    """PCD-level universal setup -> index -> prove/verify (the reference's
+    test_marlin_universal_pcd shape, tests/mnt4_marlin.rs:167-204).
+    Heavy: the Marlin-gadget MainCircuit is ~90k constraints even on the
+    toy cycle."""
+    from pcd_tpu import configs
+    from pcd_tpu.pcd.api import FpPredicate
+
+    class Counter(FpPredicate):
+        PRIOR_MSG_LEN = 1
+
+        def generate_constraints(self, cs, msg, wit, priors, base):
+            (priors[0] + wit).enforce_equal(msg)
+
+    pcd = configs.toy_marlin()
+    F = pcd.ic.main_field
+    pred = Counter(F)
+    rng = ChaChaRng(b"universal pcd")
+    pp = pcd.universal_setup(MarlinBound(max_degree=16), rng)
+    pk, vk = pcd.index(pp, pred, rng)
+    one = F.from_int(1)
+    p1 = pcd.prove(pk, pred, one, one, [], [], rng)
+    assert pcd.verify(vk, pred, one, p1)
+    two = F.from_int(2)
+    p2 = pcd.prove(pk, pred, two, one, [one], [p1], rng)
+    assert pcd.verify(vk, pred, two, p2)
+    assert not pcd.verify(vk, pred, one, p2)
+
+
+@pytest.mark.slow
+def test_marlin_pcd_chain_toy():
+    """Circuit-specific Marlin PCD chain on the toy cycle (reference
+    test_marlin_pcd, tests/mnt4_marlin.rs:141-165)."""
+    from pcd_tpu import configs
+    from pcd_tpu.pcd.api import FpPredicate
+
+    class Counter(FpPredicate):
+        PRIOR_MSG_LEN = 1
+
+        def generate_constraints(self, cs, msg, wit, priors, base):
+            (priors[0] + wit).enforce_equal(msg)
+
+    pcd = configs.toy_marlin()
+    F = pcd.ic.main_field
+    pred = Counter(F)
+    rng = ChaChaRng(b"marlin pcd chain")
+    pk, vk = pcd.circuit_specific_setup(pred, rng)
+    one = F.from_int(1)
+    p1 = pcd.prove(pk, pred, one, one, [], [], rng)
+    assert pcd.verify(vk, pred, one, p1)
+    two = F.from_int(2)
+    p2 = pcd.prove(pk, pred, two, one, [one], [p1], rng)
+    assert pcd.verify(vk, pred, two, p2)
+    assert not pcd.verify(vk, pred, one, p2)
