@@ -26,6 +26,9 @@ def main():
         def generate_constraints(self, cs, msg, wit, priors, base):
             (priors[0] + wit).enforce_equal(msg)
 
+    from pcd_tpu.utils import profiling
+
+    profiling.enable()
     t_start = time.time()
     pcd = configs.mnt4_groth16()
     F = pcd.ic.main_field
@@ -81,6 +84,7 @@ def main():
         print("NEG CHECK REJECTS:", stats["neg_check_rejects"], flush=True)
 
     stats["total_s"] = round(time.time() - t_start, 1)
+    print(profiling.profile_report(min_seconds=0.5), flush=True)
     with open("/root/repo/real_cycle_smoke.json", "w") as f:
         json.dump(stats, f, indent=1)
     print(json.dumps(stats))
