@@ -110,6 +110,10 @@ class BoweHopwoodCRH:
     def new_output_input(self, fpcls, out):
         return fpcls.new_instance(out)
 
+    def flatten_output(self, out):
+        """Witness-program external-input image of new_output_input."""
+        return [out.n if hasattr(out, "n") else int(out)]
+
     def new_output_witness(self, fpcls, out):
         return fpcls.new_witness(out)
 

@@ -82,6 +82,10 @@ class PedersenCRH:
         y = fpcls.new_instance(out.y)
         return TEAffineVar(self.curve, x, y)
 
+    def flatten_output(self, out):
+        """Witness-program external-input image of new_output_input."""
+        return [out.x.n, out.y.n]
+
     def new_output_witness(self, fpcls, out):
         return TEAffineVar(self.curve,
                            fpcls.new_witness(out.x), fpcls.new_witness(out.y))
@@ -119,6 +123,9 @@ class PedersenCRHCompressor(PedersenCRH):
 
     def new_output_witness(self, fpcls, out):
         return fpcls.new_witness(out)
+
+    def flatten_output(self, out):
+        return [out.n if hasattr(out, "n") else int(out)]
 
     def output_var_enforce_equal(self, a, b):
         a.enforce_equal(b)

@@ -183,6 +183,7 @@ class FpVarBase:
         p = self.MODULUS
         prod = self.val * o.val % p
         out = cls.new_witness(prod)
+        self.CS.set_last_recipe(("mul", self.lc, o.lc))
         self.CS.enforce(self.lc, o.lc, out.lc)
         return out
 
@@ -201,6 +202,7 @@ class FpVarBase:
         if self.val == 0:
             raise SynthesisError("inverse of zero in circuit (witness)")
         out = cls.new_witness(pow(self.val, -1, p))
+        self.CS.set_last_recipe(("inv", self.lc))
         self.CS.enforce(self.lc, out.lc, {0: 1})
         return out
 
@@ -260,8 +262,10 @@ class FpVarBase:
                     for i in range(nbits)]
         bits = []
         v = self.val
+        src_lc = self.lc  # shared object -> replay groups the bits
         for i in range(nbits):
             bits.append(Boolean.new_witness(cls, (v >> i) & 1 == 1))
+            cls.CS.set_last_recipe(("bit", src_lc, i))
         # recomposition: sum b_i 2^i == self (single fused LC)
         Boolean.le_bits_to_fp(cls, bits).enforce_equal(self)
         if canonical:

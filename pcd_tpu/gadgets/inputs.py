@@ -46,6 +46,21 @@ def repack_native(F_src, F_dst, elems):
     return out
 
 
+def repack_chunk_ints(F_src, F_dst, elems):
+    """The raw chunk integers of repack_native (= the instance values that
+    BooleanInputVar.new_input allocates, for witness-program replay)."""
+    bits = flatten_bits_native(F_src, elems)
+    cap = F_dst.CAPACITY
+    out = []
+    for i in range(0, len(bits), cap):
+        v = 0
+        for j, b in enumerate(bits[i : i + cap]):
+            if b:
+                v |= 1 << j
+        out.append(v)
+    return out
+
+
 def repacked_len(F_src, F_dst, n_elems: int) -> int:
     cap = F_dst.CAPACITY
     total = F_src.BITS * n_elems
@@ -83,7 +98,11 @@ class BooleanInputVar:
                     v |= 1 << j
             x = fpcls.new_instance(v)
             # open into bits: booleans + unique recomposition
-            cbits = [Boolean.new_witness(fpcls, b) for b in chunk]
+            cbits = []
+            src_lc = x.lc  # shared object -> replay groups the bits
+            for j, b in enumerate(chunk):
+                cbits.append(Boolean.new_witness(fpcls, b))
+                fpcls.CS.set_last_recipe(("bit", src_lc, j))
             Boolean.le_bits_to_fp(fpcls, cbits).enforce_equal(x)
             bit_vars.extend(cbits)
         per_elem = [bit_vars[k * F_inner.BITS : (k + 1) * F_inner.BITS]

@@ -56,13 +56,16 @@ class NonNativeVar:
         return cls(params, limbs)
 
     @classmethod
-    def new_witness(cls, fpcls, params, value: int):
+    def new_witness(cls, fpcls, params, value: int, hint=None):
+        """hint: optional (HintGroup, base_offset) — replay recipe source
+        for the limbs (offset i holds limb i); None = external input."""
         value %= params.m
         limbs = []
         bits_all = []
         for i in range(params.L):
             v = (value >> (params.B * i)) & ((1 << params.B) - 1)
-            limb, bits = _range_checked(fpcls, v, params.B)
+            rec = None if hint is None else ("hint", hint[0], hint[1] + i)
+            limb, bits = _range_checked(fpcls, v, params.B, recipe=rec)
             limbs.append(limb)
             bits_all.append(bits)
         out = cls(params, limbs)
@@ -110,8 +113,12 @@ class NonNativeVar:
                 bits.extend(Boolean.constant(fpcls, (limb.val >> i) & 1 == 1)
                             for i in range(self.params.B))
             else:
-                lb = [Boolean.new_witness(fpcls, (limb.val >> i) & 1 == 1)
-                      for i in range(self.params.B)]
+                lb = []
+                src_lc = limb.lc  # shared object -> replay groups the bits
+                for i in range(self.params.B):
+                    lb.append(Boolean.new_witness(
+                        fpcls, (limb.val >> i) & 1 == 1))
+                    fpcls.CS.set_last_recipe(("bit", src_lc, i))
                 Boolean.le_bits_to_fp(fpcls, lb).enforce_equal(limb)
                 bits.extend(lb)
         self._bits = bits
@@ -127,13 +134,28 @@ class NonNativeVar:
         q_val, r_val = divmod(prod, m)
         assert q_val < (1 << (L * B + 8)), "unreduced inputs to nonnative mul"
 
+        from ..r1cs.program import HintGroup
+
+        def _qr(vals, m=m, B=B, L=L):
+            mask = (1 << B) - 1
+            x = sum(vals[i] << (B * i) for i in range(L))
+            y = sum(vals[L + i] << (B * i) for i in range(L))
+            q, r0 = divmod(x * y, m)
+            return ([(q >> (B * i)) & mask for i in range(L + 1)]
+                    + [(r0 >> (B * i)) & mask for i in range(L)])
+
+        qr_group = HintGroup(_qr, [l._as_lc() for l in self.limbs]
+                             + [l._as_lc() for l in other.limbs])
+
         # witnesses: q (L+1 limbs to be safe), r (L limbs), all range-checked
         q_limbs = []
         for i in range(L + 1):
             v = (q_val >> (B * i)) & ((1 << B) - 1)
-            limb, _ = _range_checked(fpcls, v, B)
+            limb, _ = _range_checked(fpcls, v, B,
+                                     recipe=("hint", qr_group, i))
             q_limbs.append(limb)
-        r = NonNativeVar.new_witness(fpcls, P, r_val)
+        r = NonNativeVar.new_witness(fpcls, P, r_val,
+                                     hint=(qr_group, L + 1))
 
         m_limbs = [(m >> (B * i)) & ((1 << B) - 1) for i in range(L)]
         # t_k = sum_{i+j=k} x_i y_j ;  rhs_k = sum_{i+j=k} q_i m_j + r_k
@@ -165,16 +187,20 @@ class NonNativeVar:
             diff = t_int - rhs_int + carry_val
             assert diff % (1 << B) == 0, "nonnative mul carry misalignment"
             nxt = diff >> B
+            expr = t[k] - rhs[k] + carry
             if k == n_co - 1:
                 # final: remainder must be zero
-                (t[k] - rhs[k] + carry).enforce_equal(fpcls.zero())
+                expr.enforce_equal(fpcls.zero())
                 assert nxt == 0
                 break
             u_val = nxt + (1 << G)
             assert 0 <= u_val < (1 << (G + 1)), "carry out of range"
-            u, _ = _range_checked(fpcls, u_val, G + 1)
+            cg = HintGroup(_carry_hint(B, 1 << G, fpcls.MODULUS),
+                           [expr._as_lc()])
+            u, _ = _range_checked(fpcls, u_val, G + 1,
+                                  recipe=("hint", cg, 0))
             nxt_var = u - fpcls.constant(1 << G)
-            (t[k] - rhs[k] + carry).enforce_equal(nxt_var.scale(1 << B))
+            expr.enforce_equal(nxt_var.scale(1 << B))
             carry = nxt_var
             carry_val = nxt
         return r
@@ -207,11 +233,23 @@ class NonNativeVar:
                 return
             u_val = nxt + 8
             assert 0 <= u_val < 16, "nonnative lincomb carry out of range"
-            u, _ = _range_checked(fpcls, u_val, 4)
+            from ..r1cs.program import HintGroup
+
+            cg = HintGroup(_carry_hint(B, 8, fpcls.MODULUS),
+                           [expr._as_lc()])
+            u, _ = _range_checked(fpcls, u_val, 4, recipe=("hint", cg, 0))
             nxt_var = u - fpcls.constant(8)
             expr.enforce_equal(nxt_var.scale(1 << B))
             carry = nxt_var
             carry_val = nxt
+
+    def _limb_group(self, fpcls, others, fn):
+        from ..r1cs.program import HintGroup
+
+        lcs = [l._as_lc() for l in self.limbs]
+        for o in others:
+            lcs.extend(l._as_lc() for l in o.limbs)
+        return HintGroup(fn, lcs)
 
     def add(self, fpcls, other: "NonNativeVar") -> "NonNativeVar":
         """x + y mod m: witness the reduced sum s and overflow ov in {0,1},
@@ -220,8 +258,17 @@ class NonNativeVar:
         s_total = self.raw_int() + other.raw_int()
         ov_val, s_val = divmod(s_total, P.m)
         assert ov_val <= 2, "unreduced inputs to nonnative add"
-        s = NonNativeVar.new_witness(fpcls, P, s_val)
-        ov, _ = _range_checked(fpcls, ov_val, 2)
+
+        def _sum_ov(vals, m=P.m, B=P.B, L=P.L):
+            mask = (1 << B) - 1
+            x = sum(vals[i] << (B * i) for i in range(L))
+            y = sum(vals[L + i] << (B * i) for i in range(L))
+            ov, s0 = divmod(x + y, m)
+            return [(s0 >> (B * i)) & mask for i in range(L)] + [ov]
+
+        g = self._limb_group(fpcls, [other], _sum_ov)
+        s = NonNativeVar.new_witness(fpcls, P, s_val, hint=(g, 0))
+        ov, _ = _range_checked(fpcls, ov_val, 2, recipe=("hint", g, P.L))
         self._enforce_lincomb(fpcls, [self, other], [s], ov, ov_val)
         return s
 
@@ -229,10 +276,20 @@ class NonNativeVar:
         """x - y mod m via  y + d - x - ov*m = 0."""
         P = self.params
         d_val = (self.raw_int() - other.raw_int()) % P.m
-        d = NonNativeVar.new_witness(fpcls, P, d_val)
         ov_val = (other.raw_int() + d_val - self.raw_int()) // P.m
         assert 0 <= ov_val <= 2
-        ov, _ = _range_checked(fpcls, ov_val, 2)
+
+        def _diff_ov(vals, m=P.m, B=P.B, L=P.L):
+            mask = (1 << B) - 1
+            x = sum(vals[i] << (B * i) for i in range(L))
+            y = sum(vals[L + i] << (B * i) for i in range(L))
+            d0 = (x - y) % m
+            ov = (y + d0 - x) // m
+            return [(d0 >> (B * i)) & mask for i in range(L)] + [ov]
+
+        g = self._limb_group(fpcls, [other], _diff_ov)
+        d = NonNativeVar.new_witness(fpcls, P, d_val, hint=(g, 0))
+        ov, _ = _range_checked(fpcls, ov_val, 2, recipe=("hint", g, P.L))
         self._enforce_lincomb(fpcls, [other, d], [self], ov, ov_val)
         return d
 
@@ -244,7 +301,15 @@ class NonNativeVar:
 
             raise SynthesisError("nonnative inverse of zero")
         iv = pow(v, -1, P.m)
-        out = NonNativeVar.new_witness(fpcls, P, iv)
+
+        def _inv_limbs(vals, m=P.m, B=P.B, L=P.L):
+            mask = (1 << B) - 1
+            x = sum(vals[i] << (B * i) for i in range(L)) % m
+            xi = pow(x, -1, m) if x else 0
+            return [(xi >> (B * i)) & mask for i in range(L)]
+
+        g = self._limb_group(fpcls, [], _inv_limbs)
+        out = NonNativeVar.new_witness(fpcls, P, iv, hint=(g, 0))
         one = NonNativeVar.constant(fpcls, P, 1)
         prod = self.mul(fpcls, out)
         prod.enforce_equal(fpcls, one)
@@ -301,13 +366,34 @@ class NonNativeVar:
         gt.negate().enforce_true()
 
 
-def _range_checked(fpcls, value: int, nbits: int):
-    """Allocate a witness enforced to fit nbits; returns (var, bits)."""
+def _range_checked(fpcls, value: int, nbits: int, recipe=None):
+    """Allocate a witness enforced to fit nbits; returns (var, bits).
+    `recipe` (optional) is the replay recipe for the value itself; the bits
+    are always tagged as its decomposition."""
     var = fpcls.new_witness(value)
-    bits = [Boolean.new_witness(fpcls, (value >> i) & 1 == 1)
-            for i in range(nbits)]
+    if recipe is not None:
+        fpcls.CS.set_last_recipe(recipe)
+    bits = []
+    src_lc = var.lc  # shared object -> replay groups the bits
+    for i in range(nbits):
+        bits.append(Boolean.new_witness(fpcls, (value >> i) & 1 == 1))
+        fpcls.CS.set_last_recipe(("bit", src_lc, i))
     Boolean.le_bits_to_fp(fpcls, bits).enforce_equal(var)
     return var, bits
+
+
+def _carry_hint(B: int, offset: int, p: int):
+    """Replay fn for signed carries: the carry equation value e (mod p) is a
+    signed multiple of 2^B; recover  u = (signed(e) >> B) + offset."""
+    half = p >> 1
+
+    def fn(vals, B=B, offset=offset, p=p, half=half):
+        v = vals[0]
+        if v > half:
+            v -= p
+        return [(v >> B) + offset]
+
+    return fn
 
 
 def _recompose(fpcls, limbs, B):

@@ -180,6 +180,18 @@ class AffinePointVar:
         return out
 
 
+def flatten_g1_point(pt):
+    """Witness-program external-input image of AffinePointVar.alloc over a
+    prime-field curve (x then y)."""
+    return [pt.x.n, pt.y.n]
+
+
+def flatten_g2_point(pt):
+    """External-input image of AffinePointVar.alloc with a tower lift:
+    x coefficients then y coefficients (mirrors lift_half_witness)."""
+    return [c.n for c in pt.x.c] + [c.n for c in pt.y.c]
+
+
 def _prime_coeffs(e):
     if hasattr(e, "to_prime_coeffs"):
         return e.to_prime_coeffs()
@@ -221,7 +233,9 @@ def sym_eq_boolean(fpcls, a, b):
             continue
         is_z = d.val == 0
         e = Boolean.new_witness(fpcls, is_z)
+        fpcls.CS.set_last_recipe(("iszero", d._as_lc()))
         inv_hint = fpcls.new_witness(0 if is_z else pow(d.val, -1, p))
+        fpcls.CS.set_last_recipe(("inv0", d._as_lc()))
         fpcls.CS.enforce(d._as_lc(), e.fp._as_lc(), {})
         one_minus = (fpcls.one() - e.fp)
         fpcls.CS.enforce(d._as_lc(), inv_hint._as_lc(), one_minus._as_lc())
@@ -290,16 +304,42 @@ def _inv_with_guard(fpcls, e, is_zero_bool):
     structure whether e is zero or not (shape stability!); w is the true
     inverse when e != 0 and unconstrained-but-guarded otherwise."""
     if hasattr(e, "c"):
+        from ..r1cs.program import HintGroup
+
         E_sym = type(e)
         H = _host_mirror(E_sym)
         hv = _sym_to_host(e, H)
         hint = H.zero() if hv.is_zero() else hv.inv()
-        w = _host_to_sym_witness(fpcls, E_sym, hint)
+        leaf_vals = [c.n for c in hint.to_prime_coeffs()]
+
+        def _inv0_ext(vals, H=H):
+            prime = H.prime_subfield()
+            x = H.from_prime_coeffs([prime.from_int(v) for v in vals])
+            out = H.zero() if x.is_zero() else x.inv()
+            return [c.n for c in out.to_prime_coeffs()]
+
+        group = HintGroup(_inv0_ext, [lf._as_lc() for lf in _leaves(e)])
+
+        # rebuild nested structure, tagging each leaf with its hint slot
+        def build(E, vals, off):
+            if not hasattr(E, "BASE") or E.DEGREE == 1:
+                wv = fpcls.new_witness(vals[off])
+                fpcls.CS.set_last_recipe(("hint", group, off))
+                return wv, off + 1
+            coeffs = []
+            for _ in range(E.DEGREE):
+                c, off = build(E.BASE, vals, off)
+                coeffs.append(c)
+            return E(coeffs), off
+
+        w, off = build(E_sym, leaf_vals, 0)
+        assert off == len(leaf_vals)
         _enforce_sym_eq(e * w, _scale_tree(E_sym.one(),
                                            fpcls.one() - is_zero_bool.fp))
         return w
     val = 0 if e.val == 0 else pow(e.val, -1, fpcls.MODULUS)
     w = fpcls.new_witness(val)
+    fpcls.CS.set_last_recipe(("inv0", e._as_lc()))
     fpcls.CS.enforce(e._as_lc(), w._as_lc(),
                      (fpcls.one() - is_zero_bool.fp)._as_lc())
     return w

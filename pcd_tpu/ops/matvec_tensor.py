@@ -19,43 +19,58 @@ from .limbs import ctx_for, ints_to_limbs_np
 
 
 class SparseMatVec:
-    """One sparse matrix (rows x cols) over Fp, device-resident."""
+    """One sparse matrix (rows x cols) over Fp, device-resident.
+
+    nnz is split into power-of-two chunks of at most MAX_CHUNK entries so
+    the segmented-scan working set stays bounded regardless of matrix size
+    (real MainCircuits exceed 2^21 nnz); chunk partial row-sums are added.
+    All full chunks share one shape, so XLA compiles the scan body once."""
+
+    MAX_CHUNK = 1 << 19
 
     def __init__(self, F, rows_idx, cols_idx, vals, n_rows: int):
         """rows_idx must be sorted ascending; vals are ints mod p."""
         self.fp = ctx_for(F.MODULUS)
         self.F = F
         self.n_rows = n_rows
+        p = self.fp.p
+        R = self.fp.R
         n = len(rows_idx)
-        # pad nnz to a power of two (rows -> n_rows sentinel, val 0)
-        m = 1
-        while m < max(n, 2):
-            m *= 2
-        pad = m - n
-        self.rows = jnp.asarray(np.concatenate(
-            [np.asarray(rows_idx, np.int32),
-             np.full(pad, n_rows, np.int32)]))
-        self.cols = jnp.asarray(np.concatenate(
-            [np.asarray(cols_idx, np.int32), np.zeros(pad, np.int32)]))
-        vals_mont = ints_to_limbs_np(
-            [v * self.fp.R % self.fp.p for v in vals] + [0] * pad, self.fp.k)
-        self.vals = jnp.asarray(vals_mont)
-        # segment flags: first entry of each run of equal rows
-        ri = np.concatenate([np.asarray(rows_idx, np.int32),
-                             np.full(pad, n_rows, np.int32)])
-        prev = np.concatenate([[-1], ri[:-1]])
-        self.flags = jnp.asarray(ri != prev)
-        is_end = np.concatenate([ri[1:] != ri[:-1], [True]])
-        self.end_positions = jnp.asarray(is_end)
+        rows_np = np.asarray(rows_idx, np.int32)
+        cols_np = np.asarray(cols_idx, np.int32)
+        self.chunks = []
+        for s in range(0, max(n, 1), self.MAX_CHUNK):
+            ri = rows_np[s : s + self.MAX_CHUNK]
+            ci = cols_np[s : s + self.MAX_CHUNK]
+            vi = vals[s : s + self.MAX_CHUNK]
+            cn = len(ri)
+            m = 1
+            while m < max(cn, 2):
+                m *= 2
+            pad = m - cn
+            ri = np.concatenate([ri, np.full(pad, n_rows, np.int32)])
+            ci = np.concatenate([ci, np.zeros(pad, np.int32)])
+            vals_mont = ints_to_limbs_np(
+                [v * R % p for v in vi] + [0] * pad, self.fp.k)
+            prev = np.concatenate([[-1], ri[:-1]])
+            flags = ri != prev
+            is_end = np.concatenate([ri[1:] != ri[:-1], [True]])
+            self.chunks.append((jnp.asarray(ri), jnp.asarray(ci),
+                                jnp.asarray(vals_mont), jnp.asarray(flags),
+                                jnp.asarray(is_end)))
 
     def apply(self, z_mont):
-        """z_mont: (n_cols, K) Montgomery limbs -> (n_rows_pad, K) row sums
+        """z_mont: (n_cols, K) Montgomery limbs -> (n_rows, K) row sums
         in Montgomery form (rows without entries = 0).
 
         The COO arrays are passed as jit ARGUMENTS (a captured-constant
         formulation bakes gigabytes into the lowered program)."""
-        return _apply_jit(self.fp, self.n_rows, self.rows, self.cols,
-                          self.vals, self.flags, self.end_positions, z_mont)
+        out = None
+        for (rows, cols, vals, flags, end_positions) in self.chunks:
+            part = _apply_jit(self.fp, self.n_rows, rows, cols,
+                              vals, flags, end_positions, z_mont)
+            out = part if out is None else _add_jit(self.fp, out, part)
+        return out
 
 
 @partial(jax.jit, static_argnums=(0, 1))
@@ -74,6 +89,11 @@ def _apply_jit(fp, n_rows, rows, cols, vals, flags, end_positions, z_mont):
     idx = jnp.where(end_positions, rows, jnp.int32(n_rows))
     out = out.at[idx].set(scanned)
     return out[: n_rows]
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _add_jit(fp, a, b):
+    return fp.add(a, b)
 
 
 def matrices_to_device(F, rows, n_rows: int, n_cols: int):

@@ -45,6 +45,16 @@ class PCDPredicate:
         """list[UInt8] — the byte image hashed into the PCD input hash."""
         raise NotImplementedError
 
+    def flatten_message(self, msg):
+        """Flat ints in new_message_var's raw-witness allocation order —
+        enables the recorded witness-program fast path (r1cs/program.py).
+        Optional: predicates without it fall back to full re-synthesis."""
+        raise NotImplementedError
+
+    def flatten_witness(self, witness):
+        """Flat ints mirroring new_witness_var (see flatten_message)."""
+        raise NotImplementedError
+
     def generate_constraints(self, cs, msg_var, witness_var, prior_msg_vars,
                              base_case_bool):
         raise NotImplementedError
@@ -76,3 +86,9 @@ class FpPredicate(PCDPredicate):
 
     def message_var_to_bytes(self, msg_var):
         return msg_var.to_bytes()
+
+    def flatten_message(self, msg):
+        return [msg.n if hasattr(msg, "n") else int(msg)]
+
+    def flatten_witness(self, witness):
+        return [witness.n if hasattr(witness, "n") else int(witness)]

@@ -153,6 +153,52 @@ class MainCircuit:
         # setup mode so synthesis matches prove-time structure
         self.help_vk_shape = help_vk_shape
 
+    def _resolved(self):
+        """Substitute defaults for unset values (setup mode) — shared by
+        generate_constraints and external_inputs so the replay inputs match
+        synthesis allocation order exactly."""
+        ic, pred = self.ic, self.predicate
+        crh = ic.crh
+        input_hash = (self.input_hash if self.input_hash is not None
+                      else crh.default_output())
+        main_public_input = crh.convert_output_to_field_elements(input_hash)
+        n_help_inputs = repacked_len(ic.main_field, ic.help_field,
+                                     len(main_public_input))
+        default_vk, default_proof = placeholder_proof(ic.help_snark,
+                                                      n_help_inputs)
+        help_vk = self.help_vk if self.help_vk is not None else default_vk
+        if self.help_vk is None and self.help_vk_shape is not None \
+                and hasattr(ic.help_gadget, "reshape_vk"):
+            help_vk = ic.help_gadget.reshape_vk(default_vk, self.help_vk_shape)
+        msg = self.msg if self.msg is not None else pred.default_message()
+        witness = (self.witness if self.witness is not None
+                   else pred.default_witness())
+        if self.base_case_bit is False:
+            prior_msgs = list(self.prior_msgs)
+            prior_proofs = list(self.prior_proofs)
+        else:
+            dm = pred.default_message()
+            prior_msgs = [dm] * pred.PRIOR_MSG_LEN
+            prior_proofs = [default_proof] * pred.PRIOR_MSG_LEN
+        return input_hash, help_vk, msg, witness, prior_msgs, prior_proofs
+
+    def external_inputs(self):
+        """Flat per-proof inputs (allocation order) for witness-program
+        replay — see r1cs/program.py."""
+        ic, pred = self.ic, self.predicate
+        (input_hash, help_vk, msg, witness,
+         prior_msgs, prior_proofs) = self._resolved()
+        out = list(ic.crh.flatten_output(input_hash))
+        out += ic.help_gadget.flatten_vk(help_vk)
+        out += pred.flatten_message(msg)
+        out += pred.flatten_witness(witness)
+        for m in prior_msgs:
+            out += pred.flatten_message(m)
+        for pf in prior_proofs:
+            out += ic.help_gadget.flatten_proof(pf)
+        out.append(1 if self.base_case_bit else 0)
+        return out
+
     def generate_constraints(self, cs: ConstraintSystem):
         ic, pred = self.ic, self.predicate
         crh = ic.crh
@@ -162,42 +208,16 @@ class MainCircuit:
             assert len(self.prior_proofs) == pred.PRIOR_MSG_LEN
 
         # -- allocation (order mirrors the reference) -------------------
-        input_hash = (self.input_hash if self.input_hash is not None
-                      else crh.default_output())
+        (input_hash, help_vk, msg, witness,
+         prior_msgs, prior_proofs) = self._resolved()
         input_hash_g = crh.new_output_input(V, input_hash)
-
-        main_public_input = crh.convert_output_to_field_elements(input_hash)
-        n_help_inputs = repacked_len(ic.main_field, ic.help_field,
-                                     len(main_public_input))
-        default_vk, default_proof = placeholder_proof(ic.help_snark,
-                                                      n_help_inputs)
-
-        help_vk = self.help_vk if self.help_vk is not None else default_vk
-        if self.help_vk is None and self.help_vk_shape is not None \
-                and hasattr(ic.help_gadget, "reshape_vk"):
-            help_vk = ic.help_gadget.reshape_vk(default_vk, self.help_vk_shape)
         help_vk_g = ic.help_gadget.alloc_vk(cs, help_vk, mode="witness")
-
-        msg = self.msg if self.msg is not None else pred.default_message()
         msg_g = pred.new_message_var(cs, msg)
-
-        witness = (self.witness if self.witness is not None
-                   else pred.default_witness())
         witness_g = pred.new_witness_var(cs, witness)
 
-        prior_msg_gs = []
-        prior_proof_gs = []
-        if self.base_case_bit is False:
-            for m in self.prior_msgs:
-                prior_msg_gs.append(pred.new_message_var(cs, m))
-            for pf in self.prior_proofs:
-                prior_proof_gs.append(ic.help_gadget.alloc_proof(cs, pf))
-        else:
-            dm = pred.default_message()
-            for _ in range(pred.PRIOR_MSG_LEN):
-                prior_msg_gs.append(pred.new_message_var(cs, dm))
-            for _ in range(pred.PRIOR_MSG_LEN):
-                prior_proof_gs.append(ic.help_gadget.alloc_proof(cs, default_proof))
+        prior_msg_gs = [pred.new_message_var(cs, m) for m in prior_msgs]
+        prior_proof_gs = [ic.help_gadget.alloc_proof(cs, pf)
+                          for pf in prior_proofs]
 
         b_base = Boolean.new_witness(V, bool(self.base_case_bit))
 
@@ -241,16 +261,28 @@ class HelpCircuit:
         self.input_hash = input_hash
         self.main_proof = main_proof
 
-    def generate_constraints(self, cs: ConstraintSystem):
+    def _resolved(self):
         ic = self.ic
         crh = ic.crh
         input_hash = (self.input_hash if self.input_hash is not None
                       else crh.default_output())
         hash_fields = crh.convert_output_to_field_elements(input_hash)
-
         _, default_proof = placeholder_proof(ic.main_snark, len(hash_fields))
         main_proof = (self.main_proof if self.main_proof is not None
                       else default_proof)
+        return hash_fields, main_proof
+
+    def external_inputs(self):
+        """Flat per-proof inputs (allocation order) for witness-program
+        replay — see r1cs/program.py."""
+        hash_fields, main_proof = self._resolved()
+        out = self.ic.main_gadget.flatten_input(hash_fields)
+        out += self.ic.main_gadget.flatten_proof(main_proof)
+        return out
+
+    def generate_constraints(self, cs: ConstraintSystem):
+        ic = self.ic
+        hash_fields, main_proof = self._resolved()
 
         input_var = ic.main_gadget.input_var_new_input(cs, hash_fields)
         pvk_var = ic.main_gadget.alloc_pvk(cs, self.main_pvk)
@@ -396,10 +428,13 @@ class BoundCircuit:
     def generate_constraints(self, cs):
         V = fpvar_class(cs)
         x = V.new_witness(3)
+        cs.set_last_recipe(("lc", {0: 3}))
         acc = x
         for _ in range(self.size):
             acc = acc * x
-        acc.enforce_equal(V.new_witness(acc.val))
+        out = V.new_witness(acc.val)
+        cs.set_last_recipe(("lc", acc._as_lc()))
+        acc.enforce_equal(out)
 
 
 class UniversalSetupMixin:

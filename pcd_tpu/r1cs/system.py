@@ -40,17 +40,38 @@ class ConstraintSystem:
         self.constraints = []        # list of (a, b, c) lc-dicts
         self._ns = []                # namespace path (debugging only)
         self.constraint_names = None  # set to [] to record names
+        # witness-program recording (see r1cs/program.py): one tape slot per
+        # witness; None = external input, else a recipe tuple describing how
+        # to recompute the value from earlier variables.  _alloc_seq keeps
+        # the combined instance/witness allocation order (var ints).
+        self.tape = []
+        self._alloc_seq = []
 
     # -- allocation ----------------------------------------------------
     ONE = 0
 
     def new_instance(self, value: int) -> int:
         self.instance.append(value % self.p)
-        return len(self.instance) - 1
+        v = len(self.instance) - 1
+        self._alloc_seq.append(v)
+        return v
 
     def new_witness(self, value: int) -> int:
         self.witness.append(value % self.p)
-        return -len(self.witness)
+        v = -len(self.witness)
+        self.tape.append(None)
+        self._alloc_seq.append(v)
+        return v
+
+    # -- witness-program recording --------------------------------------
+    def set_last_recipe(self, recipe):
+        """Attach a replay recipe to the most recently allocated witness."""
+        self.tape[-1] = recipe
+
+    def set_recipe_for(self, var: int, recipe):
+        """Attach a replay recipe to witness `var` (var < 0), possibly
+        after later allocations happened (retroactive tagging)."""
+        self.tape[-var - 1] = recipe
 
     def value_of(self, var: int) -> int:
         if var < 0:

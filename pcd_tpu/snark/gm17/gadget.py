@@ -141,6 +141,31 @@ class GM17VerifierGadget:
         ])
         return eq1 & eq2
 
+    # -- witness-program external inputs -----------------------------------
+    def flatten_vk(self, vk):
+        """Flat ints in alloc_vk's witness allocation order (replay)."""
+        from ...gadgets.sw import flatten_g1_point, flatten_g2_point
+
+        out = flatten_g1_point(vk.alpha_g1)
+        out += flatten_g2_point(vk.alpha_g2)
+        out += flatten_g1_point(vk.gamma_g1)
+        out += flatten_g2_point(vk.gamma_g2)
+        out += flatten_g2_point(vk.delta_g2)
+        for p in vk.query:
+            out += flatten_g1_point(p)
+        return out
+
+    def flatten_proof(self, proof):
+        from ...gadgets.sw import flatten_g1_point, flatten_g2_point
+
+        return (flatten_g1_point(proof.a) + flatten_g2_point(proof.b)
+                + flatten_g1_point(proof.c))
+
+    def flatten_input(self, values):
+        from ...gadgets.inputs import repack_chunk_ints
+
+        return repack_chunk_ints(self.cfg.Fr, self.cfg.Fq, values)
+
     # -- vk hashing --------------------------------------------------------
     def vk_to_bytes(self, vk_var: GM17VKVar):
         out = []

@@ -230,50 +230,122 @@ class GM17:
 
     # -- prove ----------------------------------------------------------
     def prove(self, pk: GM17PK, circuit, rng):
-        cs = self._synthesize(circuit)
+        """Works from the R1CS row evaluations Az/Bz/Cz only — the SAP
+        extension (reference ark-gm17's A/C polynomials) is assembled
+        elementwise:  a_ev[2j] = Az+Bz, a_ev[2j+1] = Az-Bz,
+        c_ev[2j] = 4Cz + w, c_ev[2j+1] = w  with w = (Az-Bz)^2,
+        plus the per-instance squaring rows.  No SAP matrices are ever
+        materialized at prove time, and the row evals run on device."""
+        from ..plan import plan_for
+        from ...utils.profiling import span
+
+        with span("gm17/witness"):
+            z, cs, plan = plan_for(pk, lambda: ConstraintSystem(self.Fr),
+                                   circuit)
         p = self.Fr.MODULUS
-        if cs.num_instance + cs.num_witness != pk.num_vars:
+        if len(z) != pk.num_vars:
             raise SNARKError("circuit shape mismatch vs proving key")
-        bad = cs.first_unsatisfied()
-        if bad is not None:
-            raise SNARKError(f"unsatisfied constraint {cs.which_is_unsatisfied()}")
-        z = self._sap_assignment(cs)
-        rows, num_sap_vars = self._sap_rows(cs)
-        assert num_sap_vars == len(z)
-        domain = EvaluationDomain(self.Fr, pk.domain_size)
-        n_inst = cs.num_instance
+        if cs is not None:
+            rows3 = []
+            n_inst = cs.num_instance
 
-        # h(x) = (A(x)^2 - C(x)) / Z(x) on a coset
-        a_ev = [0] * domain.n
-        c_ev = [0] * domain.n
-        for j, (ra, rc) in enumerate(rows):
-            a_ev[j] = sum(co * z[col] for col, co in ra.items()) % p
-            c_ev[j] = sum(co * z[col] for col, co in rc.items()) % p
-        device = self._use_device(len(rows))
-        if device:
-            import jax.numpy as jnp
-            import numpy as np
+            def remap(lc):
+                return {(n_inst + (-v - 1) if v < 0 else v): co % p
+                        for v, co in lc.items()}
 
-            from ...ops.fft_tensor import fft_ctx
-
-            fctx = fft_ctx(self.Fr, domain.n)
-            evs = jnp.asarray(np.stack([fctx.encode(v)
-                                        for v in (a_ev, c_ev)]))
-            ap = fctx.coset_fft(fctx.ifft(evs))
-            prod = fctx.fp.sub(fctx.fp.mont_mul(ap[0], ap[0]), ap[1])
-            zh_inv = pow(domain.vanishing_poly_at(domain.coset_shift), -1, p)
-            zh = jnp.asarray(fctx.fp.to_mont_host(zh_inv))
-            h_cos = fctx.fp.mont_mul(prod, jnp.broadcast_to(zh, prod.shape))
-            h = fctx.decode(fctx.coset_ifft(h_cos))[: domain.n - 1]
+            for (a, b, c) in cs.constraints:
+                rows3.append((remap(a), remap(b), remap(c)))
+            n_cons = cs.num_constraints
+            if plan is not None:
+                plan.rows = rows3
         else:
-            a_poly = domain.ifft(a_ev)
-            c_poly = domain.ifft(c_ev)
-            a_cos = domain.coset_fft(a_poly)
-            c_cos = domain.coset_fft(c_poly)
-            zh_inv = pow(domain.vanishing_poly_at(domain.coset_shift), -1, p)
-            h_cos = [(a_cos[i] * a_cos[i] - c_cos[i]) % p * zh_inv % p
-                     for i in range(domain.n)]
-            h = domain.coset_ifft(h_cos)[: domain.n - 1]
+            rows3 = plan.rows
+            n_inst = plan.n_inst
+            n_cons = plan.n_constraints
+        replayed = cs is None
+        domain = EvaluationDomain(self.Fr, pk.domain_size)
+        device = self._use_device(2 * n_cons + n_inst)
+
+        with span("gm17/h_poly"):
+            if device:
+                import jax.numpy as jnp
+                import numpy as np
+
+                from ...ops.fft_tensor import fft_ctx
+                from ...ops.matvec_tensor import matrices_to_device
+
+                fctx = fft_ctx(self.Fr, domain.n)
+                fp = fctx.fp
+                mats = getattr(pk, "_dev_mats", None)
+                if mats is None:
+                    mats = matrices_to_device(self.Fr, rows3, n_cons, len(z))
+                    pk._dev_mats = mats
+                z_mont = jnp.asarray(fp.encode(z))
+                az, bz, cz = (m.apply(z_mont) for m in mats)
+                viol = fp.sub(fp.mont_mul(az, bz), cz)
+                if bool(jnp.any(viol)):
+                    raise SNARKError(
+                        "unsatisfied constraint (device row check)")
+                apb = fp.add(az, bz)
+                amb = fp.sub(az, bz)
+                w = fp.mont_mul(amb, amb)
+                cz4 = fp.add(fp.add(cz, cz), fp.add(cz, cz))
+                zi = z_mont[:n_inst]
+                zi_sq = fp.mont_mul(zi, zi)
+                a_dev = jnp.zeros((domain.n, fp.k), dtype=jnp.uint32)
+                a_dev = a_dev.at[0 : 2 * n_cons : 2].set(apb)
+                a_dev = a_dev.at[1 : 2 * n_cons : 2].set(amb)
+                a_dev = a_dev.at[2 * n_cons : 2 * n_cons + n_inst].set(zi)
+                c_dev = jnp.zeros((domain.n, fp.k), dtype=jnp.uint32)
+                c_dev = c_dev.at[0 : 2 * n_cons : 2].set(fp.add(cz4, w))
+                c_dev = c_dev.at[1 : 2 * n_cons : 2].set(w)
+                c_dev = c_dev.at[2 * n_cons : 2 * n_cons + n_inst].set(zi_sq)
+                # SAP extension of the assignment (scalars for the MSMs)
+                z = z + fp.decode(np.asarray(w)) + fp.decode(np.asarray(zi_sq))
+                evs = jnp.stack([a_dev, c_dev])
+                ap = fctx.coset_fft(fctx.ifft(evs))
+                prod = fp.sub(fp.mont_mul(ap[0], ap[0]), ap[1])
+                zh_inv = pow(domain.vanishing_poly_at(domain.coset_shift),
+                             -1, p)
+                zh = jnp.asarray(fp.to_mont_host(zh_inv))
+                h_cos = fp.mont_mul(prod, jnp.broadcast_to(zh, prod.shape))
+                h = fctx.decode(fctx.coset_ifft(h_cos))[: domain.n - 1]
+            else:
+                azs = [0] * n_cons
+                bzs = [0] * n_cons
+                czs = [0] * n_cons
+                for j, (ra, rb, rc) in enumerate(rows3):
+                    azs[j] = sum(co * z[col] for col, co in ra.items()) % p
+                    bzs[j] = sum(co * z[col] for col, co in rb.items()) % p
+                    czs[j] = sum(co * z[col] for col, co in rc.items()) % p
+                if replayed:
+                    for j in range(n_cons):
+                        if (azs[j] * bzs[j] - czs[j]) % p:
+                            raise SNARKError(
+                                f"unsatisfied constraint #{j} (replayed)")
+                a_ev = [0] * domain.n
+                c_ev = [0] * domain.n
+                for j in range(n_cons):
+                    wj = (azs[j] - bzs[j]) ** 2 % p
+                    a_ev[2 * j] = (azs[j] + bzs[j]) % p
+                    a_ev[2 * j + 1] = (azs[j] - bzs[j]) % p
+                    c_ev[2 * j] = (4 * czs[j] + wj) % p
+                    c_ev[2 * j + 1] = wj
+                for i in range(n_inst):
+                    a_ev[2 * n_cons + i] = z[i]
+                    c_ev[2 * n_cons + i] = z[i] * z[i] % p
+                # SAP extension of the assignment
+                z = z + [(azs[j] - bzs[j]) ** 2 % p for j in range(n_cons)] \
+                    + [z[i] * z[i] % p for i in range(n_inst)]
+                a_poly = domain.ifft(a_ev)
+                c_poly = domain.ifft(c_ev)
+                a_cos = domain.coset_fft(a_poly)
+                c_cos = domain.coset_fft(c_poly)
+                zh_inv = pow(domain.vanishing_poly_at(domain.coset_shift),
+                             -1, p)
+                h_cos = [(a_cos[i] * a_cos[i] - c_cos[i]) % p * zh_inv % p
+                         for i in range(domain.n)]
+                h = domain.coset_ifft(h_cos)[: domain.n - 1]
 
         r = rng.randrange(p)
 

@@ -267,21 +267,33 @@ class Groth16:
 
     # ------------------------------------------------------------------
     def prove(self, pk: Groth16PK, circuit, rng):
-        with span("groth16/synthesize"):
-            cs = self._synthesize(circuit)
+        from ..plan import plan_for
+
+        with span("groth16/witness"):
+            z, cs, plan = plan_for(pk, lambda: ConstraintSystem(self.Fr),
+                                   circuit)
         p = self.Fr.MODULUS
-        num_vars = cs.num_instance + cs.num_witness
+        num_vars = len(z)
         if num_vars != len(pk.a_query):
             raise SNARKError(
                 f"circuit shape mismatch: {num_vars} vars vs pk {len(pk.a_query)}")
-        bad = cs.first_unsatisfied()
-        if bad is not None:
-            raise SNARKError(f"unsatisfied constraint {cs.which_is_unsatisfied()}")
+        if cs is not None:
+            bad = cs.first_unsatisfied()
+            if bad is not None:
+                raise SNARKError(
+                    f"unsatisfied constraint {cs.which_is_unsatisfied()}")
+            rows = self._matrix_rows(cs)
+            n_inst = cs.num_instance
+            n_cons = cs.num_constraints
+            if plan is not None:
+                plan.rows = rows
+        else:
+            rows = plan.rows
+            n_inst = plan.n_inst
+            n_cons = plan.n_constraints
+        replayed = cs is None
 
-        z = cs.full_assignment()
-        rows = self._matrix_rows(cs)
         domain = EvaluationDomain(self.Fr, pk.domain_size)
-        n_inst = cs.num_instance
 
         # h(x) = (A(x) B(x) - C(x)) / Z_H(x) via coset evaluation
         device = self._use_device(len(rows))
@@ -293,33 +305,25 @@ class Groth16:
                 from ...ops.fft_tensor import fft_ctx
 
                 fctx = fft_ctx(self.Fr, domain.n)
-                nnz = sum(len(r[k]) for r in rows for k in range(3))
-                if nnz <= (1 << 19):
-                    # device sparse matvec feeding the device FFT directly
-                    from ...ops.matvec_tensor import matrices_to_device
+                # device sparse matvec feeding the device FFT directly
+                # (chunked scan: arbitrary nnz)
+                from ...ops.matvec_tensor import matrices_to_device
 
-                    mats = getattr(pk, "_dev_mats", None)
-                    if mats is None:
-                        mats = matrices_to_device(self.Fr, rows, domain.n,
-                                                  num_vars)
-                        pk._dev_mats = mats
-                    z_mont = jnp.asarray(fctx.fp.encode(z))
-                    evs = jnp.stack([m.apply(z_mont) for m in mats])
-                else:
-                    # huge nnz: the segmented-scan matvec's working set
-                    # exceeds HBM; host row-eval, device FFT
-                    a_ev = [0] * domain.n
-                    b_ev = [0] * domain.n
-                    c_ev = [0] * domain.n
-                    for j, (ra, rb, rc) in enumerate(rows):
-                        a_ev[j] = sum(co * z[col]
-                                      for col, co in ra.items()) % p
-                        b_ev[j] = sum(co * z[col]
-                                      for col, co in rb.items()) % p
-                        c_ev[j] = sum(co * z[col]
-                                      for col, co in rc.items()) % p
-                    evs = jnp.asarray(np.stack(
-                        [fctx.encode(v) for v in (a_ev, b_ev, c_ev)]))
+                mats = getattr(pk, "_dev_mats", None)
+                if mats is None:
+                    mats = matrices_to_device(self.Fr, rows, domain.n,
+                                              num_vars)
+                    pk._dev_mats = mats
+                z_mont = jnp.asarray(fctx.fp.encode(z))
+                evs = jnp.stack([m.apply(z_mont) for m in mats])
+                if replayed:
+                    # satisfiability check on device (the host-side
+                    # first_unsatisfied() ran only on the synthesis pass)
+                    viol = fctx.fp.sub(fctx.fp.mont_mul(evs[0], evs[1]),
+                                       evs[2])[:n_cons]
+                    if bool(jnp.any(viol)):
+                        raise SNARKError(
+                            "unsatisfied constraint (replayed witness)")
                 ap = fctx.coset_fft(fctx.ifft(evs))
                 prod = fctx.fp.sub(fctx.fp.mont_mul(ap[0], ap[1]), ap[2])
                 zh_inv = pow(domain.vanishing_poly_at(domain.coset_shift),
@@ -336,6 +340,11 @@ class Groth16:
                     a_ev[j] = sum(co * z[col] for col, co in ra.items()) % p
                     b_ev[j] = sum(co * z[col] for col, co in rb.items()) % p
                     c_ev[j] = sum(co * z[col] for col, co in rc.items()) % p
+                if replayed:
+                    for j in range(n_cons):
+                        if (a_ev[j] * b_ev[j] - c_ev[j]) % p:
+                            raise SNARKError(
+                                f"unsatisfied constraint #{j} (replayed)")
                 h = self._h_poly(domain, a_ev, b_ev, c_ev, False)
         # degree of h is n-2; drop the top coefficient (must be ~0)
         h = h[: domain.n - 1]
@@ -344,12 +353,11 @@ class Groth16:
         s = rng.randrange(p)
 
         with span("groth16/msm"):
-            return self._prove_commit(pk, cs, z, h, r, s)
+            return self._prove_commit(pk, n_inst, z, h, r, s)
 
-    def _prove_commit(self, pk, cs, z, h, r, s):
+    def _prove_commit(self, pk, n_inst, z, h, r, s):
         from ...ops.fixed_base import DevicePointVec
 
-        n_inst = cs.num_instance
         p = self.Fr.MODULUS
         z_digits = None
         if isinstance(pk.a_query, DevicePointVec):

@@ -24,7 +24,7 @@ from dataclasses import dataclass
 from ...gadgets.fields_ext import circuit_tower
 from ...gadgets.fp import Boolean, UInt8, fpvar_class
 from ...gadgets.inputs import BooleanInputVar, repack_native
-from ...gadgets.nonnative import NonNativeVar
+from ...gadgets.nonnative import NonNativeParams, NonNativeVar
 from ...gadgets.pairing import PairingGadget
 from ...gadgets.sw import AffinePointVar, SWProjVar
 from .native import _B1_POLYS, _B3_POLYS
@@ -53,6 +53,15 @@ class MarlinProofVar:
     evals: dict             # name -> NonNativeVar
     pi1: AffinePointVar
     pi3: AffinePointVar
+
+
+def _eval_order(evals: dict):
+    """Canonical allocation order for proof.evals — independent of dict
+    insertion order (which serialization round-trips may not preserve)."""
+    canon = _B1_POLYS + _B3_POLYS + ["sigma_A", "sigma_B", "sigma_C"]
+    out = [nm for nm in canon if nm in evals]
+    out += sorted(nm for nm in evals if nm not in set(canon))
+    return out
 
 
 class MarlinVerifierGadget:
@@ -124,7 +133,7 @@ class MarlinVerifierGadget:
             comms3[f"h_3{name}"] = comm_var(proof.comms3[f"h_3{name}"].c)
         sigma3 = NonNativeVar.new_witness(V, P, proof.sigma3)
         evals = {nm: NonNativeVar.new_witness(V, P, proof.evals[nm])
-                 for nm in proof.evals}
+                 for nm in _eval_order(proof.evals)}
         return MarlinProofVar(comms1=comms1, comms2=comms2, comms3=comms3,
                               sigma3=sigma3, evals=evals,
                               pi1=comm_var(proof.pi1),
@@ -132,6 +141,50 @@ class MarlinVerifierGadget:
 
     def alloc_pvk(self, cs, pvk):
         return self.alloc_vk(cs, pvk, mode="constant")
+
+    # -- witness-program external inputs -----------------------------------
+    def _flat_g1(self, pt):
+        return [0, 0] if pt.is_infinity() else [pt.x.n, pt.y.n]
+
+    def flatten_vk(self, vk):
+        """Flat ints in alloc_vk's witness allocation order (replay)."""
+        from ...gadgets.sw import flatten_g2_point
+
+        out = []
+        for nm in sorted(vk.index_comms):
+            out += self._flat_g1(vk.index_comms[nm].c)
+        out += flatten_g2_point(vk.srs_h)
+        out += flatten_g2_point(vk.srs_tau_h)
+        return out
+
+    def _flat_nn(self, value: int):
+        P = NonNativeParams(self.Fr.MODULUS, self.cfg.Fq.BITS)
+        mask = (1 << P.B) - 1
+        v = value % P.m
+        return [(v >> (P.B * i)) & mask for i in range(P.L)]
+
+    def flatten_proof(self, proof):
+        out = []
+        for nm in sorted(proof.comms1):
+            out += self._flat_g1(proof.comms1[nm].c)
+        out += self._flat_g1(proof.comms2["g_1"].c)
+        out += self._flat_g1(proof.comms2["g_1"].shifted)
+        out += self._flat_g1(proof.comms2["h_1"].c)
+        for name in "ABC":
+            out += self._flat_g1(proof.comms3[f"g_3{name}"].c)
+            out += self._flat_g1(proof.comms3[f"g_3{name}"].shifted)
+            out += self._flat_g1(proof.comms3[f"h_3{name}"].c)
+        out += self._flat_nn(proof.sigma3)
+        for nm in _eval_order(proof.evals):
+            out += self._flat_nn(proof.evals[nm])
+        out += self._flat_g1(proof.pi1)
+        out += self._flat_g1(proof.pi3)
+        return out
+
+    def flatten_input(self, values):
+        from ...gadgets.inputs import repack_chunk_ints
+
+        return repack_chunk_ints(self.Fr, self.cfg.Fq, values)
 
     # -- inputs ------------------------------------------------------------
     def input_var_from_field_elements(self, cf_fpvars):

@@ -167,17 +167,29 @@ class MarlinSNARK:
                 bound = e.bound
 
     def prove(self, pk: MarlinIndexPK, circuit, rng):
-        cs = ConstraintSystem(self.Fr)
-        circuit.generate_constraints(cs)
-        if cs.first_unsatisfied() is not None:
-            raise SNARKError(
-                f"unsatisfied constraint {cs.which_is_unsatisfied()}")
-        rows = self._matrix_rows(cs)
-        idx = pk.index
-        if cs.num_instance + cs.num_witness != idx.num_vars:
-            raise SNARKError("circuit shape mismatch vs index")
-        z = cs.full_assignment()
+        from ..plan import plan_for
+
+        z, cs, plan = plan_for(pk, lambda: ConstraintSystem(self.Fr),
+                               circuit)
         p = self.Fr.MODULUS
+        idx = pk.index
+        if len(z) != idx.num_vars:
+            raise SNARKError("circuit shape mismatch vs index")
+        if cs is not None:
+            if cs.first_unsatisfied() is not None:
+                raise SNARKError(
+                    f"unsatisfied constraint {cs.which_is_unsatisfied()}")
+            rows = self._matrix_rows(cs)
+            if plan is not None:
+                plan.rows = rows
+        else:
+            rows = plan.rows
+            for j, (ra, rb, rc) in enumerate(rows):
+                if (sum(co * z[col] for col, co in ra.items())
+                        * sum(co * z[col] for col, co in rb.items())
+                        - sum(co * z[col] for col, co in rc.items())) % p:
+                    raise SNARKError(
+                        f"unsatisfied constraint #{j} (replayed)")
         srs = pk.srs
 
         sp = self._sponge()
