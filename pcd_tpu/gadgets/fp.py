@@ -129,6 +129,21 @@ class FpVarBase:
             return {0: self.val} if self.val else {}
         return self.lc
 
+    # LCs longer than this are materialized into a fresh witness (one
+    # extra constraint).  Without the cap, iterative gadgets (the Miller
+    # loop above all) grow coordinate LCs by a few terms per round and
+    # then multiply them: measured 82M total LC terms in the real-scale
+    # MainCircuit (dominating synthesis, matrix nnz, and witness replay).
+    LC_CAP = 16
+
+    def _capped(self):
+        """Materialize an over-long LC as a witness wire: w = <lc>."""
+        cls = type(self)
+        w = cls.new_witness(self.val)
+        self.CS.set_last_recipe(("lc", self.lc))
+        self.CS.enforce(self.lc, {0: 1}, w.lc)
+        return w
+
     def __add__(self, o):
         cls = type(self)
         if isinstance(o, int):
@@ -141,7 +156,10 @@ class FpVarBase:
         for v, c in o._as_lc().items():
             x = lc.get(v)
             lc[v] = c if x is None else x + c
-        return cls(lc, (self.val + o.val) % self.MODULUS)
+        out = cls(lc, (self.val + o.val) % self.MODULUS)
+        if len(lc) > self.LC_CAP:
+            return out._capped()
+        return out
 
     def __sub__(self, o):
         return self + (-o)

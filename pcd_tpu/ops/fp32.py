@@ -1,0 +1,195 @@
+"""f32/8-bit-limb modular arithmetic with fused Pallas kernels — the MSM
+speed-of-light path (docs/DESIGN.md roadmap items 1-2; VERDICT round-2
+item 2).
+
+Why not u32 limbs: the TPU VPU has no fast 32-bit integer multiply (XLA
+emulates it), which capped the u16-limb CIOS path (ops/limbs.py) at
+~43 M mont_mul/s.  This module instead uses:
+
+  - 8-bit limbs held in f32 lanes: 8x8-bit products are exact in f32, and
+    sums of <= 39 of them stay below 2^24 (f32's exact-integer range);
+  - Montgomery reduction by CONSTANTS (N' = -p^-1 mod R, p itself) as two
+    bf16 matmuls with constant Toeplitz matrices -> they ride the MXU;
+  - a lazy mod-p value class: elements live in [~0, c*p) for small c with
+    "quasi-settled" limbs in [-1, 256] -- no comparisons or conditional
+    subtracts anywhere in the hot path (the lane-parallel carry settle is
+    3 shift-add rounds, value-exact);
+  - one fused Pallas kernel per EC add: all 12 field products and every
+    intermediate stay in VMEM, eliminating the HBM round-trips that made
+    the u32 path memory-bound.
+
+Layout: an Fp element batch is (n, KP) f32, limb i in lane i (LSB first),
+K = 39 limbs (R = 2^312 > 4p^2-safe for 298-bit p), padded to KP = 40.
+Montgomery form: stored value = x * R mod p (+ multiples of p; lazy).
+
+Correctness envelope (checked in tests/test_fp32.py):
+  - mul inputs may be any value < 117*p with limbs in [-1, 256]
+    (c^2 * p < R  =>  c <= 117 for MNT-298); outputs < 1.01 p + p = 2p-ish
+  - adds/subs of a handful of mul outputs stay far below the bound
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LB = 8                       # limb bits
+BASE = 1 << LB               # 256
+INV_BASE = 1.0 / BASE
+
+
+def _int_to_f32_limbs(x: int, k: int) -> np.ndarray:
+    out = np.zeros(k, dtype=np.float32)
+    for i in range(k):
+        out[i] = (x >> (LB * i)) & (BASE - 1)
+    assert x >> (LB * k) == 0
+    return out
+
+
+def ints_to_f32_limbs_np(xs, k: int) -> np.ndarray:
+    buf = b"".join(int(x).to_bytes(k, "little") for x in xs)
+    arr = np.frombuffer(buf, dtype=np.uint8).reshape(len(xs), k)
+    return arr.astype(np.float32)
+
+
+def f32_limbs_to_ints_np(arr) -> list:
+    """Quasi-settled (limbs may be -1..256 or larger) -> exact ints."""
+    arr = np.asarray(arr, dtype=np.float64)
+    n, k = arr.shape
+    out = []
+    for r in range(n):
+        v = 0
+        for i in range(k):
+            v += int(arr[r, i]) << (LB * i)
+        out.append(v)
+    return out
+
+
+class Fp32Ctx:
+    """Per-modulus constants for the f32 path."""
+
+    def __init__(self, modulus: int):
+        self.p = modulus
+        bits = modulus.bit_length()
+        self.k = (bits + LB - 1) // LB + 1   # one extra limb: R = 2^(8k)
+        self.kp = (self.k + 7) // 8 * 8      # pad to multiple of 8 lanes
+        self.k2 = 2 * self.k
+        self.k2p = (self.k2 + 2 + 7) // 8 * 8  # spare top lanes for carries
+        self.R = 1 << (LB * self.k)
+        assert self.R > 16 * modulus * modulus // self.R, "R too small"
+        self.nprime = (-pow(modulus, -1, self.R)) % self.R
+        self.p_limbs = _int_to_f32_limbs(modulus, self.k)
+        self.np_limbs = _int_to_f32_limbs(self.nprime, self.k)
+        # Toeplitz matrices for the two constant multiplies (bf16-exact:
+        # entries are 8-bit)
+        # m = (t_lo * N') mod R : N0[i, j] = n'_{j-i}  (j >= i), (k, k)
+        N0 = np.zeros((self.kp, self.kp), dtype=np.float32)
+        for i in range(self.k):
+            for j in range(i, self.k):
+                N0[i, j] = self.np_limbs[j - i]
+        self.N0 = N0
+        # mp = m * p : P0[i, j] = p_{j-i}, (k, 2k)
+        P0 = np.zeros((self.kp, self.k2p), dtype=np.float32)
+        for i in range(self.k):
+            for j in range(self.k):
+                P0[i, i + j] = self.p_limbs[j]
+        self.P0 = P0
+        self.r_mod_p = self.R % modulus
+        self.one_mont = _int_to_f32_limbs(self.r_mod_p, self.k)
+
+    # -- host conversions -------------------------------------------------
+    def encode(self, xs) -> np.ndarray:
+        R, p, = self.R, self.p
+        arr = ints_to_f32_limbs_np([int(x) * R % p for x in xs], self.k)
+        if self.kp > self.k:
+            arr = np.pad(arr, [(0, 0), (0, self.kp - self.k)])
+        return arr
+
+    def decode(self, arr) -> list:
+        rinv = pow(self.R, -1, self.p)
+        p = self.p
+        return [v * rinv % p for v in f32_limbs_to_ints_np(np.asarray(arr))]
+
+    def zeros(self, shape=()):
+        return jnp.zeros(shape + (self.kp,), dtype=jnp.float32)
+
+    def one(self, shape=()):
+        o = np.zeros(self.kp, dtype=np.float32)
+        o[: self.k] = self.one_mont
+        return jnp.broadcast_to(jnp.asarray(o), shape + (self.kp,))
+
+    # ======================================================================
+    # In-graph math (usable inside Pallas kernels AND in plain jnp)
+    # ======================================================================
+    def settle(self, v, rounds: int = 3):
+        """3 shift-add carry rounds: limbs -> [-1, 256], value-exact.
+        The top lane must be free (values never carry out of the array)."""
+        for _ in range(rounds):
+            c = jnp.floor(v * INV_BASE)
+            r = v - c * BASE
+            v = r + jnp.concatenate(
+                [jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
+        return v
+
+    def mul(self, a, b):
+        """Montgomery product over (n, KP) f32 quasi-settled inputs."""
+        k, kp, k2p = self.k, self.kp, self.k2p
+        # schoolbook t = a * b  (exact: |limbs| <= 256, sums < 2^24)
+        t = jnp.zeros(a.shape[:-1] + (k2p,), dtype=jnp.float32)
+        for i in range(k):
+            prod = a[..., i : i + 1] * b[..., :kp]
+            t = jax.lax.dynamic_update_slice_in_dim(
+                t, jax.lax.dynamic_slice_in_dim(t, i, kp, -1) + prod, i, -1)
+        t = self.settle(t)
+        # m = (t mod R) * N' mod R  -- constant matmul on the MXU
+        t_lo = t[..., :kp]
+        m = jnp.dot(t_lo.astype(jnp.bfloat16),
+                    jnp.asarray(self.N0, dtype=jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        m = self.settle(m)
+        m = m * (jnp.arange(kp) < k)  # mod R: zero the spill lanes
+        # t + m*p  -- second constant matmul
+        mp = jnp.dot(m.astype(jnp.bfloat16),
+                     jnp.asarray(self.P0, dtype=jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        s = self.settle(t + mp)
+        # exact divide by R: low k limbs of s represent carry*R with
+        # carry in {-1,0,1}; only the top few low limbs matter numerically
+        carry = jnp.floor(
+            s[..., k - 1] * INV_BASE
+            + s[..., k - 2] * (INV_BASE ** 2)
+            + s[..., k - 3] * (INV_BASE ** 3) + 0.5)
+        hi = jax.lax.dynamic_slice_in_dim(s, k, kp, -1)
+        out = hi.at[..., 0].add(carry)
+        return out
+
+    def add(self, a, b):
+        return self.settle(a + b, rounds=1)
+
+    def sub(self, a, b):
+        """a - b + 4p (keeps values positive; lazy class)."""
+        off = jnp.asarray(self._off4p())
+        return self.settle(a - b + off, rounds=2)
+
+    def neg(self, a):
+        off = jnp.asarray(self._off4p())
+        return self.settle(off - a, rounds=2)
+
+    @lru_cache(maxsize=None)
+    def _off4p(self):
+        arr = _int_to_f32_limbs(4 * self.p, self.k + 1)
+        out = np.zeros(self.kp, dtype=np.float32)
+        out[: self.k + 1] = arr
+        assert self.k + 1 <= self.kp
+        return out
+
+    def select(self, cond, a, b):
+        return jnp.where(cond[..., None], a, b)
+
+
+@lru_cache(maxsize=None)
+def fp32_ctx(modulus: int) -> Fp32Ctx:
+    return Fp32Ctx(modulus)
