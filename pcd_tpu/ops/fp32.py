@@ -122,8 +122,18 @@ class Fp32Ctx:
         return jnp.broadcast_to(jnp.asarray(o), shape + (self.kp,))
 
     # ======================================================================
-    # In-graph math (usable inside Pallas kernels AND in plain jnp)
+    # In-graph math (usable inside Pallas kernels AND in plain jnp).
+    # Pallas forbids captured array constants, so the reduction matrices
+    # and the 4p offset are explicit optional arguments; the plain path
+    # defaults them from host constants.
     # ======================================================================
+    def consts(self):
+        """(N0 bf16, P0 bf16, off4p f32(1,KP)) as jnp arrays — pass these
+        into Pallas kernels and through to mul/sub/neg."""
+        return (jnp.asarray(self.N0, dtype=jnp.bfloat16),
+                jnp.asarray(self.P0, dtype=jnp.bfloat16),
+                jnp.asarray(self.off4p().reshape(1, -1)))
+
     def settle(self, v, rounds: int = 3):
         """3 shift-add carry rounds: limbs -> [-1, 256], value-exact.
         The top lane must be free (values never carry out of the array)."""
@@ -134,52 +144,72 @@ class Fp32Ctx:
                 [jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
         return v
 
-    def mul(self, a, b):
+    def mul(self, a, b, N0=None, P0=None):
         """Montgomery product over (n, KP) f32 quasi-settled inputs."""
         k, kp, k2p = self.k, self.kp, self.k2p
-        # schoolbook t = a * b  (exact: |limbs| <= 256, sums < 2^24)
+        if N0 is None:
+            N0 = jnp.asarray(self.N0, dtype=jnp.bfloat16)
+        if P0 is None:
+            P0 = jnp.asarray(self.P0, dtype=jnp.bfloat16)
+        a, b = jnp.broadcast_arrays(a, b)
+        # schoolbook t = a * b  (exact: |limbs| <= 256, sums < 2^24).
+        # Static concatenation shifts only: Pallas TPU has no dynamic_slice.
         t = jnp.zeros(a.shape[:-1] + (k2p,), dtype=jnp.float32)
+        zcol = jnp.zeros(a.shape[:-1] + (1,), dtype=jnp.float32)
         for i in range(k):
             prod = a[..., i : i + 1] * b[..., :kp]
-            t = jax.lax.dynamic_update_slice_in_dim(
-                t, jax.lax.dynamic_slice_in_dim(t, i, kp, -1) + prod, i, -1)
+            if i:
+                prod = jnp.concatenate(
+                    [jnp.broadcast_to(zcol, a.shape[:-1] + (i,)), prod],
+                    axis=-1)
+            pad_r = k2p - prod.shape[-1]
+            if pad_r:
+                prod = jnp.concatenate(
+                    [prod,
+                     jnp.broadcast_to(zcol, a.shape[:-1] + (pad_r,))],
+                    axis=-1)
+            t = t + prod
         t = self.settle(t)
         # m = (t mod R) * N' mod R  -- constant matmul on the MXU
         t_lo = t[..., :kp]
-        m = jnp.dot(t_lo.astype(jnp.bfloat16),
-                    jnp.asarray(self.N0, dtype=jnp.bfloat16),
+        m = jnp.dot(t_lo.astype(jnp.bfloat16), N0,
                     preferred_element_type=jnp.float32)
         m = self.settle(m)
-        m = m * (jnp.arange(kp) < k)  # mod R: zero the spill lanes
+        # mod R: zero the spill lanes (2-D iota — TPU/Pallas-safe)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, kp), 1)
+        m = m * (lane < k).astype(jnp.float32)
         # t + m*p  -- second constant matmul
-        mp = jnp.dot(m.astype(jnp.bfloat16),
-                     jnp.asarray(self.P0, dtype=jnp.bfloat16),
+        mp = jnp.dot(m.astype(jnp.bfloat16), P0,
                      preferred_element_type=jnp.float32)
         s = self.settle(t + mp)
         # exact divide by R: low k limbs of s represent carry*R with
         # carry in {-1,0,1}; only the top few low limbs matter numerically
         carry = jnp.floor(
-            s[..., k - 1] * INV_BASE
-            + s[..., k - 2] * (INV_BASE ** 2)
-            + s[..., k - 3] * (INV_BASE ** 3) + 0.5)
-        hi = jax.lax.dynamic_slice_in_dim(s, k, kp, -1)
-        out = hi.at[..., 0].add(carry)
-        return out
+            s[..., k - 1 : k] * INV_BASE
+            + s[..., k - 2 : k - 1] * (INV_BASE ** 2)
+            + s[..., k - 3 : k - 2] * (INV_BASE ** 3) + 0.5)
+        hi = s[..., k : k + kp]
+        carry_vec = jnp.concatenate(
+            [carry, jnp.zeros(carry.shape[:-1] + (kp - 1,),
+                              dtype=jnp.float32)], axis=-1)
+        return hi + carry_vec
 
     def add(self, a, b):
         return self.settle(a + b, rounds=1)
 
-    def sub(self, a, b):
+    def sub(self, a, b, off=None):
         """a - b + 4p (keeps values positive; lazy class)."""
-        off = jnp.asarray(self._off4p())
+        if off is None:
+            off = jnp.asarray(self.off4p())
         return self.settle(a - b + off, rounds=2)
 
-    def neg(self, a):
-        off = jnp.asarray(self._off4p())
+    def neg(self, a, off=None):
+        if off is None:
+            off = jnp.asarray(self.off4p())
         return self.settle(off - a, rounds=2)
 
     @lru_cache(maxsize=None)
-    def _off4p(self):
+    def off4p(self):
         arr = _int_to_f32_limbs(4 * self.p, self.k + 1)
         out = np.zeros(self.kp, dtype=np.float32)
         out[: self.k + 1] = arr
@@ -188,6 +218,68 @@ class Fp32Ctx:
 
     def select(self, cond, a, b):
         return jnp.where(cond[..., None], a, b)
+
+    # ======================================================================
+    # Transposed variants: arrays are (K, B) — limbs on SUBLANES, batch on
+    # lanes.  Dense vregs (B a multiple of 128) and row-wise carry/convolve
+    # shifts instead of expensive lane concatenates.  Used inside the
+    # fused Pallas kernels; same math, same exactness envelope.
+    # ======================================================================
+    def settleT(self, v, rounds: int = 3):
+        for _ in range(rounds):
+            c = jnp.floor(v * INV_BASE)
+            r = v - c * BASE
+            v = r + jnp.concatenate(
+                [jnp.zeros_like(c[:1, :]), c[:-1, :]], axis=0)
+        return v
+
+    def constsT(self):
+        """(N0T bf16 (K,K), P0T bf16 (2K,K), off4p (K,1)) for the
+        transposed kernels."""
+        return (jnp.asarray(self.N0.T.copy(), dtype=jnp.bfloat16),
+                jnp.asarray(self.P0.T.copy(), dtype=jnp.bfloat16),
+                jnp.asarray(self.off4p().reshape(-1, 1)))
+
+    def mulT(self, a, b, N0T, P0T):
+        """Montgomery product, operands (K, B)."""
+        k, kp, k2p = self.k, self.kp, self.k2p
+        nb = a.shape[-1]
+        zrow = jnp.zeros((1, nb), dtype=jnp.float32)
+        t = jnp.zeros((k2p, nb), dtype=jnp.float32)
+        for i in range(k):
+            prod = a[i : i + 1, :] * b[:kp, :]
+            if i:
+                prod = jnp.concatenate(
+                    [jnp.broadcast_to(zrow, (i, nb)), prod], axis=0)
+            pad_r = k2p - prod.shape[0]
+            if pad_r:
+                prod = jnp.concatenate(
+                    [prod, jnp.broadcast_to(zrow, (pad_r, nb))], axis=0)
+            t = t + prod
+        t = self.settleT(t)
+        t_lo = t[:kp, :]
+        m = jnp.dot(N0T, t_lo.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        m = self.settleT(m)
+        row = jax.lax.broadcasted_iota(jnp.int32, (kp, 1), 0)
+        m = m * (row < k).astype(jnp.float32)
+        mp = jnp.dot(P0T, m.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        s = self.settleT(t + mp)
+        carry = jnp.floor(
+            s[k - 1 : k, :] * INV_BASE
+            + s[k - 2 : k - 1, :] * (INV_BASE ** 2)
+            + s[k - 3 : k - 2, :] * (INV_BASE ** 3) + 0.5)
+        hi = s[k : k + kp, :]
+        carry_rows = jnp.concatenate(
+            [carry, jnp.zeros((kp - 1, nb), dtype=jnp.float32)], axis=0)
+        return hi + carry_rows
+
+    def addT(self, a, b):
+        return self.settleT(a + b, rounds=1)
+
+    def subT(self, a, b, off):
+        return self.settleT(a - b + off, rounds=2)
 
 
 @lru_cache(maxsize=None)

@@ -53,6 +53,11 @@ class MSMTensorCtx:
                            for s in scalars)
             arr = np.frombuffer(buf, dtype=np.uint8).reshape(n, self.nwin)
             return np.ascontiguousarray(arr.T).astype(np.uint32)
+        if self.c == 16:
+            buf = b"".join(int(s).to_bytes(2 * self.nwin, "little")
+                           for s in scalars)
+            arr = np.frombuffer(buf, dtype="<u2").reshape(n, self.nwin)
+            return np.ascontiguousarray(arr.T).astype(np.uint32)
         out = np.zeros((self.nwin, n), dtype=np.uint32)
         mask = (1 << self.c) - 1
         for j, s in enumerate(scalars):
@@ -116,13 +121,14 @@ class MSMTensorCtx:
         # windows processed as a lax.scan over vmapped chunks: ONE traced
         # body instance (compile-size), W windows batched per step
         # (amortizes the small per-window ops).  W shrinks with the point
-        # count to bound the working set.
-        if n <= (1 << 14):
-            W = self.WINDOW_CHUNK
-        elif n <= (1 << 16):
-            W = 2
-        else:
+        # count (and with the bucket count at c=16) to bound the working
+        # set.
+        if self.c >= 16 or n > (1 << 16):
             W = 1
+        elif n <= (1 << 14):
+            W = self.WINDOW_CHUNK
+        else:
+            W = 2
         nw_pad = ((self.nwin + W - 1) // W) * W
         dpad = jnp.pad(digits, [(0, nw_pad - self.nwin), (0, 0)])
         dchunks = dpad.reshape(nw_pad // W, W, n)
@@ -181,3 +187,9 @@ class MSMTensorCtx:
 @lru_cache(maxsize=None)
 def msm_ctx(curve, scalar_bits: int, c: int = 8) -> MSMTensorCtx:
     return MSMTensorCtx(curve, scalar_bits, c)
+
+
+def msm_ctx_for(curve, scalar_bits: int, n: int) -> MSMTensorCtx:
+    """Window size by problem size: at n >= 2^16 the halved window count
+    of c=16 beats the extra 2*2^16 bucket-reduction adds per window."""
+    return msm_ctx(curve, scalar_bits, 16 if n >= (1 << 16) else 8)

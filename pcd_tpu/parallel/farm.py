@@ -115,20 +115,13 @@ class DagFarm:
                         ChaChaRng(rng_seed + nid.encode()))
             return proofs
 
-        import multiprocessing as mp
-        from concurrent.futures import ProcessPoolExecutor
-
-        from ..utils.serialize import pcd_proof_from_bytes, pcd_proof_to_bytes
+        from ..utils.serialize import pcd_proof_from_bytes
 
         assert self.config_name is not None and self.predicate_builder, \
             "multi-worker farm needs a config factory for pk replication"
-        ctx = mp.get_context("spawn")
-        with ProcessPoolExecutor(
-                max_workers=self.workers, mp_context=ctx,
-                initializer=_worker_init,
-                initargs=(self.config_name, self.seed,
-                          self.predicate_builder)) as pool:
-            blobs = {}
+        blobs = {}
+        pool = self._new_pool()
+        try:
             for wave in dag.waves():
                 jobs = []
                 for nid in wave:
@@ -138,26 +131,67 @@ class DagFarm:
                         [dag.nodes[p].msg.n for p in node.priors],
                         [blobs[p] for p in node.priors],
                         rng_seed + nid.encode()))
-                # failure handling: one retry per node (worker crash /
-                # transient device error); node proofs are deterministic
-                # given the rng seed, so retries are safe
-                futures = {pool.submit(_worker_prove, j): j for j in jobs}
-                import concurrent.futures as _cf
-
-                retried = set()
-                while futures:
-                    done, _ = _cf.wait(futures,
-                                       return_when=_cf.FIRST_COMPLETED)
-                    for fut in done:
-                        job = futures.pop(fut)
-                        try:
-                            nid, blob = fut.result()
-                            blobs[nid] = blob
-                        except Exception:
-                            if job[0] in retried:
-                                raise
-                            retried.add(job[0])
-                            futures[pool.submit(_worker_prove, job)] = job
-            for nid, blob in blobs.items():
-                proofs[nid] = pcd_proof_from_bytes(self.pcd, blob)
+                pool = self._run_wave(pool, jobs, blobs)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+        for nid, blob in blobs.items():
+            proofs[nid] = pcd_proof_from_bytes(self.pcd, blob)
         return proofs
+
+    # -- failure handling ------------------------------------------------
+    MAX_ATTEMPTS = 2
+
+    def _new_pool(self):
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        ctx = mp.get_context("spawn")
+        return ProcessPoolExecutor(
+            max_workers=self.workers, mp_context=ctx,
+            initializer=_worker_init,
+            initargs=(self.config_name, self.seed, self.predicate_builder))
+
+    def _run_wave(self, pool, jobs, blobs):
+        """Prove one wave with per-node retry.  An ordinary per-node
+        exception is retried once; a worker DEATH (BrokenProcessPool — the
+        whole executor is poisoned) rebuilds the pool and resubmits every
+        unfinished node of the wave, bounded by MAX_ATTEMPTS per node.
+        Node proofs are deterministic given the per-node rng seed, so
+        retries are safe.  Returns the (possibly replaced) pool."""
+        import concurrent.futures as _cf
+
+        attempts = {j[0]: 0 for j in jobs}
+        pending = list(jobs)
+        while pending:
+            for j in pending:
+                attempts[j[0]] += 1
+            futures = {pool.submit(_worker_prove, j): j for j in pending}
+            pending = []
+            broken = False
+            while futures and not broken:
+                done, _ = _cf.wait(futures, return_when=_cf.FIRST_COMPLETED)
+                for fut in done:
+                    job = futures.pop(fut)
+                    try:
+                        nid, blob = fut.result()
+                        blobs[nid] = blob
+                    except _cf.process.BrokenProcessPool:
+                        # executor poisoned: every in-flight node is lost
+                        broken = True
+                        pending.append(job)
+                    except Exception:
+                        if attempts[job[0]] >= self.MAX_ATTEMPTS:
+                            raise
+                        attempts[job[0]] += 1
+                        futures[pool.submit(_worker_prove, job)] = job
+            if broken:
+                pending.extend(futures.values())
+                over = [j[0] for j in pending
+                        if attempts[j[0]] >= self.MAX_ATTEMPTS]
+                if over:
+                    raise RuntimeError(
+                        f"farm nodes failed after {self.MAX_ATTEMPTS} "
+                        f"attempts (worker death): {over}")
+                pool.shutdown(wait=False, cancel_futures=True)
+                pool = self._new_pool()
+        return pool

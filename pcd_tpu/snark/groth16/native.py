@@ -113,9 +113,9 @@ class Groth16:
         if isinstance(query, DevicePointVec):
             import jax.numpy as jnp
 
-            from ...ops.msm_tensor import msm_ctx
+            from ...ops.msm_tensor import msm_ctx_for
 
-            mctx = msm_ctx(query.curve, self.Fr.BITS)
+            mctx = msm_ctx_for(query.curve, self.Fr.BITS, len(query))
             if digits is None:
                 digits = jnp.asarray(mctx.digits_from_ints(scalars))
             out = mctx.msm_digits_padded(query.arrays, digits)
@@ -363,9 +363,10 @@ class Groth16:
         if isinstance(pk.a_query, DevicePointVec):
             import jax.numpy as jnp
 
-            from ...ops.msm_tensor import msm_ctx
+            from ...ops.msm_tensor import msm_ctx_for
 
-            mctx = msm_ctx(pk.a_query.curve, self.Fr.BITS)
+            mctx = msm_ctx_for(pk.a_query.curve, self.Fr.BITS,
+                               len(pk.a_query))
             z_digits = jnp.asarray(mctx.digits_from_ints(z))
         g_a = pk.vk.alpha_g1 + self._msm_any(pk.a_query, z, z_digits) \
             + pk.delta_g1 * r

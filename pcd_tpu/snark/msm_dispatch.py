@@ -46,9 +46,9 @@ def msm_any(query, scalars, scalar_bits: int):
         import jax.numpy as jnp
         import numpy as np
 
-        from ..ops.msm_tensor import msm_ctx
+        from ..ops.msm_tensor import msm_ctx_for
 
-        mctx = msm_ctx(query.curve, scalar_bits)
+        mctx = msm_ctx_for(query.curve, scalar_bits, len(query))
         digits = jnp.asarray(mctx.digits_from_ints(scalars))
         out = mctx.msm_digits_padded(query.arrays, digits)
         return mctx.ec.decode_point(tuple(np.asarray(c) for c in out))

@@ -111,6 +111,23 @@ def test_msm_tensor_matches_host(curve_name, n):
     assert got == want
 
 
+def test_msm_tensor_c16_matches_host():
+    """c=16 windows (the large-n default per msm_ctx_for) on a small set."""
+    from pcd_tpu.msm.host import msm as host_msm
+    from pcd_tpu.ops.msm_tensor import msm_ctx
+
+    cfg = M.toy_mnt4()
+    r = cfg.g1.order
+    ctx = msm_ctx(cfg.g1, cfg.Fr.BITS, c=16)
+    g = cfg.g1_gen
+    pts = [g * rng.randrange(1, r) for _ in range(60)]
+    scalars = [rng.randrange(r) for _ in range(60)]
+    scalars[0] = 0
+    scalars[1] = r - 1
+    pts[2] = cfg.g1.infinity()
+    assert ctx.msm(pts, scalars) == host_msm(pts, scalars)
+
+
 def test_msm_tensor_all_equal_digits():
     from pcd_tpu.ops.msm_tensor import msm_ctx
     from pcd_tpu.msm.host import msm as host_msm
