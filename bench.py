@@ -1,72 +1,112 @@
 """Round benchmark — run by the driver on real TPU hardware.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-Current headline metric: device Pippenger MSM throughput on MNT4-298 G1
-(the #1 hot loop of Groth16 proving — BASELINE.md "MSM Mpoints/s/chip").
-The reference publishes no numbers (BASELINE.md), so round 1 *establishes*
-the baseline; vs_baseline is the ratio against a 1.0 Mpoints/s/chip
-nominal target.
+Headline metric: device Pippenger MSM throughput on MNT4-298 G1 at
+n = 2^18 (production MainCircuit scale — the round-1 bench at n = 8192 was
+latency-dominated and ~20x below real prove sizes).  vs_baseline is the
+ratio against the 1.0 Mpoints/s/chip nominal target (BASELINE.md).
+
+extra fields:
+  msm_2_18_warm_s      wall seconds of one warm 2^18 MSM
+  msm_8192             the round-1 continuity metric (Mpoints/s)
+  ivc_step_s           warm MNT4-298 Groth16 IVC step seconds, if a pk
+                       checkpoint exists (.bench_cache/, created by
+                       scripts/real_cycle_smoke.py); the BASELINE.md
+                       north-star is >= 1 step/s
 """
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
 
-def main():
-    import jax
+def _msm_bench(n, c=None):
     import jax.numpy as jnp
     import numpy as np
 
     from pcd_tpu.curves import models as M
-    from pcd_tpu.ops.msm_tensor import msm_ctx
+    from pcd_tpu.ops.msm_tensor import msm_ctx_for
 
-    from pcd_tpu.ops.msm_tensor import MSMTensorCtx
-
-    # modest window-chunk: keeps the XLA program small enough to compile
-    # through the TPU tunnel within the driver's budget
-    MSMTensorCtx.WINDOW_CHUNK = 4
     cfg = M.mnt4_298()
-    n = 8192
-    mctx = msm_ctx(cfg.g1, cfg.Fr.BITS, c=8)
-
-    # synthetic but valid points: doubling chain from the generator
+    mctx = msm_ctx_for(cfg.g1, cfg.Fr.BITS, n)
     g = cfg.g1_gen
-    pts = []
-    P = g
-    for _ in range(n):
-        pts.append(P)
-        P = P + P if len(pts) % 2 else P + g
+    pts = [g * (i % 4096 + 1) for i in range(n)]
     X, Y, Z = mctx.ec.encode_points(pts)
-    points = (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z))
+    P = (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z))
     rng = np.random.default_rng(42)
-    digits = jnp.asarray(
-        rng.integers(0, 256, size=(mctx.nwin, n)).astype(np.uint32))
 
-    # compile + warmup
-    out = mctx.msm_digits(points, digits)
-    _ = tuple(np.asarray(c) for c in out)
+    def digits():
+        return jnp.asarray(rng.integers(
+            0, 1 << mctx.c, size=(mctx.nwin, n)).astype(np.uint32))
 
+    mctx.msm_to_host(P, digits())  # compile + warm
     times = []
-    for i in range(3):
-        d2 = jnp.asarray(
-            rng.integers(0, 256, size=(mctx.nwin, n)).astype(np.uint32))
+    for _ in range(3):
         t0 = time.time()
-        out = mctx.msm_digits(points, d2)
-        _ = tuple(np.asarray(c) for c in out)  # force full execution + fetch
+        mctx.msm_to_host(P, digits())
         times.append(time.time() - t0)
-
     best = min(times)
-    mpts = n / best / 1e6
+    return n / best / 1e6, best
+
+
+def _ivc_step():
+    """Warm recursive IVC step seconds, from a pk checkpoint if present."""
+    ckpt = os.path.join(".bench_cache", "pcd_mnt4_groth16_pk.bin")
+    if not os.path.exists(ckpt):
+        return None
+    from pcd_tpu import configs
+    from pcd_tpu.pcd.api import FpPredicate
+    from pcd_tpu.utils.rng import ChaChaRng
+    from pcd_tpu.utils.serialize import pcd_pk_from_bytes
+
+    class Pred(FpPredicate):
+        PRIOR_MSG_LEN = 1
+
+        def generate_constraints(self, cs, msg, wit, priors, base):
+            (priors[0] + wit).enforce_equal(msg)
+
+    pcd = configs.mnt4_groth16()
+    F = pcd.ic.main_field
+    pred = Pred(F)
+    with open(ckpt, "rb") as f:
+        pk = pcd_pk_from_bytes(pcd, f.read())
+    rng = ChaChaRng(b"bench ivc")
+    one = F.from_int(1)
+    # base case: warms every compile + records the witness programs
+    p1 = pcd.prove(pk, pred, one, one, [], [], rng)
+    # warm recursive step (the north-star quantity)
+    t0 = time.time()
+    p2 = pcd.prove(pk, pred, F.from_int(2), one, [one], [p1], rng)
+    step_s = time.time() - t0
+    return step_s
+
+
+def main():
+    mpts18, warm18 = _msm_bench(1 << 18)
+    extra = {"msm_2_18_warm_s": round(warm18, 2)}
+    try:
+        mpts8k, _ = _msm_bench(8192)
+        extra["msm_8192"] = round(mpts8k, 4)
+    except Exception:
+        pass
+    try:
+        step = _ivc_step()
+        if step is not None:
+            extra["ivc_step_s"] = round(step, 1)
+            extra["ivc_steps_per_s"] = round(1.0 / step, 4)
+    except Exception as e:  # never lose the headline metric
+        extra["ivc_error"] = type(e).__name__
     print(json.dumps({
-        "metric": "msm_mnt4_298_g1_throughput",
-        "value": round(mpts, 4),
+        "metric": "msm_mnt4_298_g1_throughput_2e18",
+        "value": round(mpts18, 4),
         "unit": "Mpoints/s/chip",
-        "vs_baseline": round(mpts / 1.0, 4),
+        "vs_baseline": round(mpts18 / 1.0, 4),
+        "extra": extra,
     }))
 
 

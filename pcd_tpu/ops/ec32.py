@@ -160,11 +160,20 @@ class EC32Ctx:
 
     # -- addition ---------------------------------------------------------
     def add(self, P, Q):
-        """Complete add; fused Pallas kernel on TPU, plain XLA elsewhere."""
+        """Complete add; fused Pallas kernel on TPU (rows padded to the
+        block size), plain XLA elsewhere."""
         shape = P[0].shape
-        if jax.default_backend() == "tpu" and len(shape) == 2 \
-                and shape[0] % self.BLOCK == 0:
-            return self._add_pallas_T(P, Q)
+        if jax.default_backend() == "tpu" and len(shape) == 2:
+            n = shape[0]
+            B = self.BLOCK
+            m = -(-n // B) * B
+            if m != n:
+                P = tuple(jnp.pad(c, [(0, m - n), (0, 0)]) for c in P)
+                Q = tuple(jnp.pad(c, [(0, m - n), (0, 0)]) for c in Q)
+            out = self._add_pallas_T(P, Q)
+            if m != n:
+                out = tuple(c[:n] for c in out)
+            return out
         consts = self._consts(shape)
         return _rcb_add(self.fp, consts, self.fp.consts(), P, Q)
 
@@ -177,10 +186,21 @@ class EC32Ctx:
         fp = self.fp
         n, kp = P[0].shape
         B = self.BLOCK
-        N0T, P0T, off = fp.constsT()
-        ac = jnp.asarray(self.a_enc.reshape(-1, 1))
-        b3c = jnp.asarray(self.b3_enc.reshape(-1, 1))
-        a2c = jnp.asarray(self.a2_enc.reshape(-1, 1))
+        N0T = jnp.asarray(fp.N0.T.copy(), dtype=jnp.bfloat16)
+        P0T = jnp.asarray(fp.P0.T.copy(), dtype=jnp.bfloat16)
+
+        # pre-broadcast row constants to full block width (numpy: this
+        # runs under an outer jit trace; Mosaic also cannot broadcast in
+        # sublanes and lanes at once)
+        def full(v):
+            return jnp.asarray(
+                np.broadcast_to(np.asarray(v, dtype=np.float32
+                                           ).reshape(-1, 1), (kp, B)).copy())
+
+        off = full(fp.off4p())
+        ac = full(self.a_enc)
+        b3c = full(self.b3_enc)
+        a2c = full(self.a2_enc)
 
         def kernel(x1, y1, z1, x2, y2, z2, n0, p0, offr, a_r, b3_r, a2_r,
                    ox, oy, oz):

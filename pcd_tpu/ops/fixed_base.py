@@ -131,3 +131,36 @@ class DevicePointVec:
         X, Y, Z = ec.encode_points(pts)
         return DevicePointVec(curve, (jnp.asarray(X), jnp.asarray(Y),
                                       jnp.asarray(Z)))
+
+    def as_f32(self):
+        """(X, Y, Z) in the f32/8-bit-limb encoding (ops/fp32.py) — lazily
+        converted on device from the u32 Montgomery-2^304 representation
+        (relimb 16->8 bit, then one constant multiply by 2^320 mod p to
+        land in the f32 path's Montgomery-2^312 form); cached."""
+        cached = getattr(self, "_f32", None)
+        if cached is not None:
+            return cached
+        from .fp32 import fp32_ctx, ints_to_f32_limbs_np
+
+        F = self.curve.F
+        assert F.extension_degree_over_prime() == 1, "f32 path is G1-only"
+        fp = fp32_ctx(F.MODULUS)
+        c_raw = ints_to_f32_limbs_np(
+            [pow(2, 8 * (fp.k + 1), fp.p)], fp.k)
+        c_arr = jnp.asarray(np.pad(c_raw, [(0, 0), (0, fp.kp - fp.k)])[0])
+
+        @jax.jit
+        def conv(a_u32):
+            n, k16 = a_u32.shape
+            lo = (a_u32 & 0xFF).astype(jnp.float32)
+            hi = (a_u32 >> 8).astype(jnp.float32)
+            inter = jnp.stack([lo, hi], axis=-1).reshape(n, 2 * k16)
+            pad = fp.kp - 2 * k16
+            if pad:
+                inter = jnp.pad(inter, [(0, 0), (0, pad)])
+            elif pad < 0:
+                inter = inter[:, : fp.kp]
+            return fp.mul(inter, jnp.broadcast_to(c_arr, inter.shape))
+
+        self._f32 = tuple(conv(a) for a in self.arrays)
+        return self._f32

@@ -243,6 +243,7 @@ class Fp32Ctx:
     def mulT(self, a, b, N0T, P0T):
         """Montgomery product, operands (K, B)."""
         k, kp, k2p = self.k, self.kp, self.k2p
+        a, b = jnp.broadcast_arrays(a, b)
         nb = a.shape[-1]
         zrow = jnp.zeros((1, nb), dtype=jnp.float32)
         t = jnp.zeros((k2p, nb), dtype=jnp.float32)

@@ -35,9 +35,16 @@ class MSMTensorCtx:
     # memory at window_chunk copies of the point set
     WINDOW_CHUNK = 8
 
-    def __init__(self, curve, scalar_bits: int, c: int = 8):
+    def __init__(self, curve, scalar_bits: int, c: int = 8,
+                 backend: str = "u32"):
         assert LIMB_BITS % c == 0, "window must divide limb size"
-        self.ec: ECTensorCtx = ec_ctx(curve)
+        if backend == "f32":
+            from .ec32 import ec32_ctx
+
+            self.ec = ec32_ctx(curve)
+        else:
+            self.ec: ECTensorCtx = ec_ctx(curve)
+        self.backend = backend
         self.curve = curve
         self.c = c
         self.scalar_bits = scalar_bits
@@ -67,10 +74,9 @@ class MSMTensorCtx:
         return out
 
     # -- device kernel ----------------------------------------------------
-    @partial(jax.jit, static_argnums=0)
-    def msm_digits(self, P, digits):
-        """P: (X, Y, Z) arrays (n, K); digits: (nwin, n) uint32.
-        Returns a single projective point (K,)-limb coords."""
+    def _window_sums_impl(self, P, digits):
+        """Traced body: per-window bucket sums; returns stacked coords
+        (nwin_padded, ...)."""
         ec = self.ec
         n = digits.shape[1]
         nbuckets = 1 << self.c
@@ -123,7 +129,7 @@ class MSMTensorCtx:
         # (amortizes the small per-window ops).  W shrinks with the point
         # count (and with the bucket count at c=16) to bound the working
         # set.
-        if self.c >= 16 or n > (1 << 16):
+        if self.backend == "f32" or self.c >= 16 or n > (1 << 16):
             W = 1
         elif n <= (1 << 14):
             W = self.WINDOW_CHUNK
@@ -138,7 +144,17 @@ class MSMTensorCtx:
             return carry, vbody(dw)
 
         _, ws = jax.lax.scan(chunk_step, 0, dchunks)
-        wsums = tuple(w.reshape((nw_pad,) + w.shape[2:]) for w in ws)
+        return tuple(w.reshape((nw_pad,) + w.shape[2:]) for w in ws)
+
+    @partial(jax.jit, static_argnums=0)
+    def _window_sums_jit(self, P, digits):
+        return self._window_sums_impl(P, digits)
+
+    @partial(jax.jit, static_argnums=0)
+    def msm_digits(self, P, digits):
+        """P: (X, Y, Z) arrays (n, K); digits: (nwin, n) uint32.
+        Returns a single projective point (K,)-limb coords."""
+        wsums = self._window_sums_impl(P, digits)
 
         # Horner combine from MSB window down
         def horner(i, acc):
@@ -154,6 +170,33 @@ class MSMTensorCtx:
         acc = self.ec.identity(())
         acc = jax.lax.fori_loop(0, self.nwin, horner, acc)
         return acc
+
+    def msm_to_host(self, P, digits):
+        """Full MSM -> host point.  u32: all-device (Horner in-graph);
+        f32: device window sums + host Horner (the 300-doubling tail on
+        batch-1 data would bloat the unrolled-mul f32 graph)."""
+        import numpy as np
+
+        n = digits.shape[1]
+        m = 1
+        while m < n:
+            m *= 2
+        if m != n:
+            P = tuple(jnp.pad(c, [(0, m - n)] + [(0, 0)] * (c.ndim - 1))
+                      for c in P)
+            digits = jnp.pad(digits, [(0, 0), (0, m - n)])
+        if self.backend == "f32":
+            ws = self._window_sums_jit(P, digits)
+            wsn = tuple(np.asarray(c) for c in ws)
+            acc = self.curve.infinity()
+            for w in reversed(range(self.nwin)):
+                for _ in range(self.c):
+                    acc = acc.double()
+                acc = acc + self.ec.decode_point(
+                    tuple(c[w] for c in wsn))
+            return acc
+        out = self.msm_digits(P, digits)
+        return self.ec.decode_point(tuple(np.asarray(c) for c in out))
 
     def msm_digits_padded(self, P, digits):
         """Pad the point count to the next power of two (zero digits for the
@@ -178,18 +221,25 @@ class MSMTensorCtx:
         assert len(points) == len(scalars) and points
         X, Y, Z = self.ec.encode_points(points)
         digits = self.digits_from_ints(scalars)
-        out = self.msm_digits_padded(
+        return self.msm_to_host(
             (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z)),
             jnp.asarray(digits))
-        return self.ec.decode_point(out)
 
 
 @lru_cache(maxsize=None)
-def msm_ctx(curve, scalar_bits: int, c: int = 8) -> MSMTensorCtx:
-    return MSMTensorCtx(curve, scalar_bits, c)
+def msm_ctx(curve, scalar_bits: int, c: int = 8,
+            backend: str = "u32") -> MSMTensorCtx:
+    return MSMTensorCtx(curve, scalar_bits, c, backend)
 
 
 def msm_ctx_for(curve, scalar_bits: int, n: int) -> MSMTensorCtx:
-    """Window size by problem size: at n >= 2^16 the halved window count
-    of c=16 beats the extra 2*2^16 bucket-reduction adds per window."""
-    return msm_ctx(curve, scalar_bits, 16 if n >= (1 << 16) else 8)
+    """Backend + window size by problem size and platform:
+    - f32 fused-Pallas EC adds on TPU for prime-coordinate curves
+      (measured: 0.096 Mpoints/s at n=2^18 vs 0.019 on the u32 path);
+    - c=16 at n >= 2^16: half the window count, amortized bucket phase.
+    Both are TPU-only: the 2^16-bucket scan graph crashes/stalls the
+    XLA-CPU compiler, and the f32 fallback path has an unrolled-mul graph."""
+    tpu = jax.default_backend() == "tpu"
+    c = 16 if (tpu and n >= (1 << 16)) else 8
+    f32_ok = tpu and curve.F.extension_degree_over_prime() == 1
+    return msm_ctx(curve, scalar_bits, c, "f32" if f32_ok else "u32")

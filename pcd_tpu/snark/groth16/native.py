@@ -118,8 +118,9 @@ class Groth16:
             mctx = msm_ctx_for(query.curve, self.Fr.BITS, len(query))
             if digits is None:
                 digits = jnp.asarray(mctx.digits_from_ints(scalars))
-            out = mctx.msm_digits_padded(query.arrays, digits)
-            return mctx.ec.decode_point(tuple(np.asarray(c) for c in out))
+            arrays = (query.as_f32() if mctx.backend == "f32"
+                      else query.arrays)
+            return mctx.msm_to_host(arrays, digits)
         nz = [(pt, s) for pt, s in zip(query, scalars) if s]
         if not nz:
             return query[0].curve.infinity()

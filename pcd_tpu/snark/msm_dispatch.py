@@ -44,14 +44,13 @@ def msm_any(query, scalars, scalar_bits: int):
 
     if isinstance(query, DevicePointVec):
         import jax.numpy as jnp
-        import numpy as np
 
         from ..ops.msm_tensor import msm_ctx_for
 
         mctx = msm_ctx_for(query.curve, scalar_bits, len(query))
         digits = jnp.asarray(mctx.digits_from_ints(scalars))
-        out = mctx.msm_digits_padded(query.arrays, digits)
-        return mctx.ec.decode_point(tuple(np.asarray(c) for c in out))
+        arrays = query.as_f32() if mctx.backend == "f32" else query.arrays
+        return mctx.msm_to_host(arrays, digits)
     from ..msm.host import msm as host_msm
 
     nz = [(pt, s) for pt, s in zip(query, scalars) if int(s)]

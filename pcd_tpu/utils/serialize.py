@@ -322,3 +322,142 @@ def snark_proof_from_bytes(snark, data: bytes):
     if name == "MarlinSNARK":
         return marlin_proof_from_bytes(snark.cfg, data)
     return _SCHEME_SERIALIZERS[name][3](snark.cfg, data)
+
+
+# ------------------------------------------------- proving-key checkpoints
+# Framework-internal format (the reference never persists keys; this is the
+# checkpoint/resume subsystem for long-running deployments and the warm-IVC
+# benchmark).  Device query tables serialize as raw u32 limb arrays so a
+# load is a single jnp.asarray per coordinate.
+
+def _write_query(out, q):
+    import numpy as np
+
+    from ..ops.fixed_base import DevicePointVec
+
+    if isinstance(q, DevicePointVec):
+        arrs = [np.asarray(a, dtype=np.uint32) for a in q.arrays]
+        shape = arrs[0].shape
+        out.append(b"\x01")
+        out.append(struct.pack("<B", len(shape)))
+        out.append(struct.pack("<" + "I" * len(shape), *shape))
+        for a in arrs:
+            out.append(a.tobytes())
+    else:
+        out.append(b"\x00")
+        out.append(struct.pack("<I", len(q)))
+        for p in q:
+            _write_point(out, p)
+
+
+def _read_query(curve, buf, off):
+    import numpy as np
+
+    from ..ops.fixed_base import DevicePointVec
+
+    tag = buf[off]
+    off += 1
+    if tag == 1:
+        import jax.numpy as jnp
+
+        ndim = buf[off]
+        off += 1
+        shape = struct.unpack_from("<" + "I" * ndim, buf, off)
+        off += 4 * ndim
+        size = 4 * int(np.prod(shape))
+        arrays = []
+        for _ in range(3):
+            a = np.frombuffer(buf[off : off + size],
+                              dtype=np.uint32).reshape(shape)
+            arrays.append(jnp.asarray(a))
+            off += size
+        return DevicePointVec(curve, tuple(arrays)), off
+    (n,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    pts = []
+    for _ in range(n):
+        p, off = _read_point(curve, buf, off)
+        pts.append(p)
+    return pts, off
+
+
+def groth16_pk_to_bytes(pk) -> bytes:
+    out = []
+    out.append(groth16_vk_to_bytes(pk.vk))
+    _write_point(out, pk.beta_g1)
+    _write_point(out, pk.delta_g1)
+    for q in (pk.a_query, pk.b_g1_query, pk.b_g2_query, pk.h_query,
+              pk.l_query):
+        qo = []
+        _write_query(qo, q)
+        blob = b"".join(qo)
+        out.append(struct.pack("<Q", len(blob)))
+        out.append(blob)
+    out.append(struct.pack("<II", pk.num_instance, pk.domain_size))
+    body = b"".join(out)
+    # vk length prefix so from_bytes can split
+    vk_len = len(groth16_vk_to_bytes(pk.vk))
+    return struct.pack("<Q", vk_len) + body
+
+
+def groth16_pk_from_bytes(cfg, data: bytes):
+    from ..snark.groth16.native import Groth16PK
+
+    (vk_len,) = struct.unpack_from("<Q", data, 0)
+    off = 8
+    vk = groth16_vk_from_bytes(cfg, data[off : off + vk_len])
+    off += vk_len
+    beta_g1, off = _read_point(cfg.g1, data, off)
+    delta_g1, off = _read_point(cfg.g1, data, off)
+    queries = []
+    for curve in (cfg.g1, cfg.g1, cfg.g2, cfg.g1, cfg.g1):
+        (blen,) = struct.unpack_from("<Q", data, off)
+        off += 8
+        q, _ = _read_query(curve, data[off : off + blen], 0)
+        off += blen
+        queries.append(q)
+    n_inst, dom = struct.unpack_from("<II", data, off)
+    return Groth16PK(vk=vk, beta_g1=beta_g1, delta_g1=delta_g1,
+                     a_query=queries[0], b_g1_query=queries[1],
+                     b_g2_query=queries[2], h_query=queries[3],
+                     l_query=queries[4], num_instance=n_inst,
+                     domain_size=dom)
+
+
+def pcd_pk_to_bytes(pcd, pk) -> bytes:
+    """ECCyclePCDPK checkpoint (Groth16/Groth16 configs)."""
+    ic = pcd.ic
+    assert type(ic.main_snark).__name__ == "Groth16" \
+        and type(ic.help_snark).__name__ == "Groth16", \
+        "pk checkpointing currently covers the Groth16 cycle configs"
+    main_b = groth16_pk_to_bytes(pk.main_pk)
+    help_b = groth16_pk_to_bytes(pk.help_pk)
+    help_vk_b = groth16_vk_to_bytes(pk.help_vk)
+    out = [struct.pack("<I", len(pk.crh_pp.seed)), pk.crh_pp.seed]
+    for blob in (main_b, help_b, help_vk_b):
+        out.append(struct.pack("<Q", len(blob)))
+        out.append(blob)
+    return b"".join(out)
+
+
+def pcd_pk_from_bytes(pcd, data: bytes):
+    from ..crh.api import CRHParams
+    from ..pcd.ec_cycle import ECCyclePCDPK
+
+    ic = pcd.ic
+    (slen,) = struct.unpack_from("<I", data, 0)
+    off = 4
+    seed = bytes(data[off : off + slen])
+    off += slen
+    blobs = []
+    for _ in range(3):
+        (blen,) = struct.unpack_from("<Q", data, off)
+        off += 8
+        blobs.append(data[off : off + blen])
+        off += blen
+    main_pk = groth16_pk_from_bytes(ic.cycle.main, blobs[0])
+    help_pk = groth16_pk_from_bytes(ic.cycle.help, blobs[1])
+    help_vk = groth16_vk_from_bytes(ic.cycle.help, blobs[2])
+    main_pvk = ic.main_snark.process_vk(main_pk.vk)
+    return ECCyclePCDPK(crh_pp=CRHParams(seed=seed), main_pk=main_pk,
+                        main_pvk=main_pvk, help_pk=help_pk, help_vk=help_vk)

@@ -86,3 +86,25 @@ def test_pcd_checkpoint_resume():
     two = F.from_int(2)
     p2 = pcd.prove(pk, pred, two, one, [one], [p1_restored], rng)
     assert pcd.verify(vk, pred, two, p2)
+
+
+def test_pcd_pk_checkpoint_roundtrip():
+    """Proving-key checkpoint: serialize pk, reload, prove with the loaded
+    pk and verify — the warm-restart path of a long-running deployment."""
+    from pcd_tpu.utils.serialize import pcd_pk_from_bytes, pcd_pk_to_bytes
+    from tests.test_pcd import TestPredicate
+
+    pcd = configs.toy_groth16()
+    F = pcd.ic.main_field
+    pred = TestPredicate(F)
+    rng = ChaChaRng(b"pk checkpoint")
+    pk, vk = pcd.circuit_specific_setup(pred, rng)
+    blob = pcd_pk_to_bytes(pcd, pk)
+    pk2 = pcd_pk_from_bytes(pcd, blob)
+
+    one = F.from_int(1)
+    p1 = pcd.prove(pk2, pred, one, one, [], [], rng)
+    assert pcd.verify(vk, pred, one, p1)
+    v2 = F.from_int(2)
+    p2 = pcd.prove(pk2, pred, v2, one, [one], [p1], rng)
+    assert pcd.verify(vk, pred, v2, p2)
