@@ -262,10 +262,24 @@ class AHP:
         return out
 
     # -- prover ----------------------------------------------------------
-    def prover_round1(self, index: AHPIndex, cs_rows, z):
-        """Returns dict of polynomials: zhat_A/B/C, what, h_0."""
+    def prover_round1(self, index: AHPIndex, cs_rows, z, rng=None):
+        """Returns dict of polynomials: zhat_A/B/C, what, h_0, s_mask.
+
+        Zero-knowledge (role of ark-marlin's zk mode, reference
+        Cargo.toml:41): every witness-dependent round-1 polynomial gets a
+        degree-1 polynomial mask times the vanishing polynomial —
+          zhat_M' = zhat_M + v_H * rho_M,   zhat' = zhat + v_H * rho_w
+        (realized through what' = what + (v_H/v_Hx) * rho_w), leaving the
+        values on H unchanged.  Two fresh random dimensions per polynomial
+        cover the two leaked evaluations (the commitment's p(tau) and the
+        opening at beta_1).  The lincheck is blinded by an independent
+        mask polynomial s with sum_H s = 0, committed in round 1 and
+        opened at beta_1 (identity (ii) gains an s(beta_1) term).
+        h_0 is recomputed from the masked polynomials, so the rowcheck
+        identity holds verbatim."""
         p = self.p
         H = self.domain(index.n)
+        n = index.n
         zvals = [int(v) % p for v in z]
         evs = {}
         for mi, name in enumerate("ABC"):
@@ -276,13 +290,42 @@ class AHP:
         zh = {name: fft_any(self.F, evs[name], H.n, "ifft")
               for name in "ABC"}
         xhat, what = self.z_poly_parts(index, z)
-        # rowcheck: zhat_A zhat_B - zhat_C = h_0 v_H
+
+        def rand():
+            return rng.randrange(p) if rng is not None else 0
+
+        # v_H * (r0 + r1 X)  as coefficients
+        def vh_mask():
+            r0, r1 = rand(), rand()
+            out = [0] * (n + 2)
+            out[0] = (p - r0) % p
+            out[1] = (p - r1) % p
+            out[n] = (out[n] + r0) % p
+            out[n + 1] = (out[n + 1] + r1) % p
+            return out
+
+        for name in "ABC":
+            zh[name] = poly_add(zh[name], vh_mask(), p)
+        # what' = what + (v_H / v_Hx)(r0 + r1 X); v_H/v_Hx = sum X^{hx j}
+        hx = index.input_size
+        r0, r1 = rand(), rand()
+        qmask = [0] * (n - hx + 2)
+        for j in range(n // hx):
+            qmask[hx * j] = (qmask[hx * j] + r0) % p
+            qmask[hx * j + 1] = (qmask[hx * j + 1] + r1) % p
+        what = poly_add(what, qmask, p)
+        # lincheck mask s: random deg <= n+1 with sum_H s = 0
+        # (sum_H X^k = n iff n | k; only k = 0 and k = n occur up to n+1,
+        #  so fixing c_0 = -c_n zeroes the sum)
+        s_mask = [rand() for _ in range(n + 2)]
+        s_mask[0] = (p - s_mask[n]) % p
+        # rowcheck from the MASKED polynomials
         prod = poly_mul_fft(self.F, zh["A"], zh["B"])
         num = poly_add(prod, poly_scale(zh["C"], p - 1, p), p)
         h0, rem = divide_by_vanishing(num, index.n, p)
         assert all(c == 0 for c in rem), "rowcheck failed (unsatisfied R1CS)"
         return dict(zhat_A=zh["A"], zhat_B=zh["B"], zhat_C=zh["C"],
-                    what=what, h_0=h0, _xhat=xhat)
+                    what=what, h_0=h0, s_mask=s_mask, _xhat=xhat)
 
     def prover_round2(self, index: AHPIndex, polys, alpha, etas):
         """Lincheck sumcheck: returns (g_1, h_1)."""
@@ -294,6 +337,7 @@ class AHP:
             t = poly_add(t, poly_scale(polys[f"zhat_{name}"], etas[name], p), p)
         uh = self.u_H_poly(alpha, n)
         q1 = poly_mul_fft(self.F, uh, t)
+        q1 = poly_add(q1, polys.get("s_mask", []), p)
         # r(alpha, X) = sum_M eta_M sum_k u_H(alpha,row_k) val_k L_{col_k}(X)
         # evaluate r(alpha, .) on H directly from sparse entries
         r_evals = [0] * n
@@ -395,10 +439,10 @@ class AHP:
         x_b1 = poly_eval(xhat, beta1, p)
         v_hx_b1 = (pow(beta1, index.input_size, p) - 1) % p
         zhat_b1 = (x_b1 + v_hx_b1 * ev["what"]) % p
-        # (ii) lincheck
+        # (ii) lincheck (with the zk sumcheck mask s opened at beta1)
         t_b1 = sum(etas[nm] * ev[f"zhat_{nm}"] for nm in "ABC") % p
         uh = self.u_H(alpha, beta1, n)
-        lhs = (uh * t_b1 - sigma3 * zhat_b1) % p
+        lhs = (ev["s_mask"] + uh * t_b1 - sigma3 * zhat_b1) % p
         rhs = (ev["h_1"] * vH_b1 + beta1 * ev["g_1"]) % p
         if (lhs - rhs) % p:
             return False

@@ -300,7 +300,8 @@ class MarlinVerifierGadget:
         # u_H(alpha, b1) = (v_H(alpha) - v_H(b1)) / (alpha - b1)
         vH_a = alpha.pow_const(V, vk_var.n).sub(V, nn_c(1))
         uh = vH_a.sub(V, vH_b1).mul(V, alpha.sub(V, beta1).inv(V))
-        lhs_ii = uh.mul(V, t_b1).sub(V, proof_var.sigma3.mul(V, zhat_b1))
+        lhs_ii = ev["s_mask"].add(
+            V, uh.mul(V, t_b1)).sub(V, proof_var.sigma3.mul(V, zhat_b1))
         rhs_ii = ev["h_1"].mul(V, vH_b1).add(V, beta1.mul(V, ev["g_1"]))
         ok_ii = lhs_ii.is_eq(V, rhs_ii)
 
@@ -322,9 +323,10 @@ class MarlinVerifierGadget:
             ok_iii = ok_iii & lhs_m.is_eq(V, rhs_m)
 
         # ---- KZG batch checks
+        from .native import _R1_COMMS
+
         d = vk_var.max_degree
-        comm_list1 = ([proof_var.comms1[nm] for nm in
-                       ("zhat_A", "zhat_B", "zhat_C", "what", "h_0")]
+        comm_list1 = ([proof_var.comms1[nm] for nm in _R1_COMMS]
                       + [proof_var.comms2["g_1"], proof_var.comms2["h_1"]]
                       + [proof_var.comms2["g_1_shifted"]])
         vals1 = [ev[nm] for nm in _B1_POLYS] \

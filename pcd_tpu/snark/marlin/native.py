@@ -70,7 +70,9 @@ class MarlinProof:
                            self.pi1, self.pi3)
 
 
-_B1_POLYS = ["zhat_A", "zhat_B", "zhat_C", "what", "h_0", "g_1", "h_1"]
+_R1_COMMS = ("zhat_A", "zhat_B", "zhat_C", "what", "h_0", "s_mask")
+_B1_POLYS = ["zhat_A", "zhat_B", "zhat_C", "what", "h_0", "s_mask",
+             "g_1", "h_1"]
 _B3_POLYS = (["row_%s" % m for m in "ABC"] + ["col_%s" % m for m in "ABC"]
              + ["val_%s" % m for m in "ABC"]
              + ["g_3%s" % m for m in "ABC"] + ["h_3%s" % m for m in "ABC"])
@@ -197,10 +199,9 @@ class MarlinSNARK:
             self._absorb_comm(sp, pk.vk.index_comms[key])
         self._absorb_fr(sp, [v for v in z[: idx.num_instance]])
 
-        # round 1
-        polys = self.ahp.prover_round1(idx, rows, z)
-        comms1 = {nm: self.kzg.commit(srs, polys[nm])
-                  for nm in ("zhat_A", "zhat_B", "zhat_C", "what", "h_0")}
+        # round 1 (zk: rng drives the masking polynomials)
+        polys = self.ahp.prover_round1(idx, rows, z, rng)
+        comms1 = {nm: self.kzg.commit(srs, polys[nm]) for nm in _R1_COMMS}
         for nm in sorted(comms1):
             self._absorb_comm(sp, comms1[nm])
         alpha = self._challenge(sp)
@@ -231,7 +232,8 @@ class MarlinSNARK:
         # openings
         poly_map1 = dict(zhat_A=polys["zhat_A"], zhat_B=polys["zhat_B"],
                          zhat_C=polys["zhat_C"], what=polys["what"],
-                         h_0=polys["h_0"], g_1=g1, h_1=h1)
+                         h_0=polys["h_0"], s_mask=polys["s_mask"],
+                         g_1=g1, h_1=h1)
         poly_map3 = {}
         for name in "ABC":
             m = idx.mats[name]
@@ -300,8 +302,7 @@ class MarlinSNARK:
 
         # KZG batch checks (with degree-bound shadow values)
         d = vk.max_degree
-        comms1 = [proof.comms1[nm] for nm in
-                  ("zhat_A", "zhat_B", "zhat_C", "what", "h_0")] \
+        comms1 = [proof.comms1[nm] for nm in _R1_COMMS] \
             + [proof.comms2["g_1"], proof.comms2["h_1"]]
         ys1 = [proof.evals[nm] for nm in _B1_POLYS]
         shadow1 = KZGCommitment(c=proof.comms2["g_1"].shifted)

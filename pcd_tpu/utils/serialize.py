@@ -168,8 +168,10 @@ _MARLIN_EVAL_ORDER = None
 def _marlin_orders():
     from ..snark.marlin.native import _B1_POLYS, _B3_POLYS
 
+    from ..snark.marlin.native import _R1_COMMS
+
     evs = list(_B1_POLYS) + list(_B3_POLYS) + [f"sigma_{n}" for n in "ABC"]
-    comm1 = ["h_0", "what", "zhat_A", "zhat_B", "zhat_C"]
+    comm1 = sorted(_R1_COMMS)
     comm3 = [f"g_3{n}" for n in "ABC"] + [f"h_3{n}" for n in "ABC"]
     return evs, comm1, comm3
 

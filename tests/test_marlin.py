@@ -119,6 +119,27 @@ def test_marlin_proof_is_deterministic_per_rng():
     assert p1.sigma3 == p2.sigma3 and p1.evals == p2.evals
 
 
+def test_marlin_zero_knowledge_masking():
+    """Two proofs of the SAME statement with different rngs must differ in
+    every witness-carrying component (the zk masking — reference's
+    ark-marlin is zk, Cargo.toml:41), yet both verify.  Hiding degrees:
+    deg-1 polynomial masks times v_H on zhat_A/B/C and zhat (via what) —
+    two fresh dimensions per polynomial, covering the commitment's p(tau)
+    and the beta_1 opening — plus the independent sumcheck mask s
+    (deg n+1, sum_H s = 0) opened at beta_1."""
+    cfg = M.toy_mnt4()
+    m = MarlinSNARK(cfg)
+    pk, vk = m.circuit_specific_setup(MulCircuit(), ChaChaRng(b"zk"))
+    p1 = m.prove(pk, MulCircuit(3, 7), ChaChaRng(b"mask one"))
+    p2 = m.prove(pk, MulCircuit(3, 7), ChaChaRng(b"mask two"))
+    x = cfg.Fr.from_int(21)
+    assert m.verify(vk, [x], p1)
+    assert m.verify(vk, [x], p2)
+    for nm in ("zhat_A", "zhat_B", "zhat_C", "what", "h_0", "s_mask"):
+        assert p1.comms1[nm].c != p2.comms1[nm].c, f"comm {nm} not masked"
+        assert p1.evals[nm] != p2.evals[nm], f"eval {nm} not masked"
+
+
 @pytest.mark.slow
 def test_marlin_universal_pcd_toy():
     """PCD-level universal setup -> index -> prove/verify (the reference's
