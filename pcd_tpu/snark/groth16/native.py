@@ -71,10 +71,13 @@ class Groth16:
 
     def __init__(self, curve_cfg, backend: str = "auto"):
         """curve_cfg: MNTCurveConfig — G1/G2/Fr and the pairing.
-        backend: 'host' | 'device' | 'auto' (size-dispatch)."""
+        backend: 'host' | 'device' | 'auto' (size-dispatch).
+        Assign a parallel.dist.DistContext to `.dist` to run the proving
+        MSMs and the quotient-poly pipeline sharded over a device mesh."""
         self.cfg = curve_cfg
         self.Fr = curve_cfg.Fr
         self.backend = backend
+        self.dist = None
         from ...pairing.ate import pairing_for
 
         self.pairing = pairing_for(curve_cfg)
@@ -113,8 +116,13 @@ class Groth16:
         if isinstance(query, DevicePointVec):
             import jax.numpy as jnp
 
-            from ...ops.msm_tensor import msm_ctx_for
+            from ...ops.msm_tensor import msm_ctx, msm_ctx_for
 
+            if self.dist is not None:
+                mctx = msm_ctx(query.curve, self.Fr.BITS)  # u32: shard_map
+                if digits is None:
+                    digits = jnp.asarray(mctx.digits_from_ints(scalars))
+                return self.dist.msm(mctx, query.arrays, digits)
             mctx = msm_ctx_for(query.curve, self.Fr.BITS, len(query))
             if digits is None:
                 digits = jnp.asarray(mctx.digits_from_ints(scalars))
@@ -325,14 +333,27 @@ class Groth16:
                     if bool(jnp.any(viol)):
                         raise SNARKError(
                             "unsatisfied constraint (replayed witness)")
-                ap = fctx.coset_fft(fctx.ifft(evs))
-                prod = fctx.fp.sub(fctx.fp.mont_mul(ap[0], ap[1]), ap[2])
-                zh_inv = pow(domain.vanishing_poly_at(domain.coset_shift),
-                             -1, p)
-                zh = jnp.asarray(fctx.fp.to_mont_host(zh_inv))
-                h_cos = fctx.fp.mont_mul(prod,
-                                         jnp.broadcast_to(zh, prod.shape))
-                h = fctx.decode(fctx.coset_ifft(h_cos))
+                dh = (self.dist.h_poly(self.Fr, domain.n)
+                      if self.dist is not None else None)
+                if dh is not None:
+                    # sharded h-poly pipeline over the mesh
+                    import numpy as np
+
+                    a_ev, b_ev, c_ev = (
+                        fctx.fp.decode(np.asarray(evs[i]))
+                        for i in range(3))
+                    h = dh.h_poly(a_ev, b_ev, c_ev)
+                else:
+                    ap = fctx.coset_fft(fctx.ifft(evs))
+                    prod = fctx.fp.sub(fctx.fp.mont_mul(ap[0], ap[1]),
+                                       ap[2])
+                    zh_inv = pow(
+                        domain.vanishing_poly_at(domain.coset_shift),
+                        -1, p)
+                    zh = jnp.asarray(fctx.fp.to_mont_host(zh_inv))
+                    h_cos = fctx.fp.mont_mul(
+                        prod, jnp.broadcast_to(zh, prod.shape))
+                    h = fctx.decode(fctx.coset_ifft(h_cos))
             else:
                 a_ev = [0] * domain.n
                 b_ev = [0] * domain.n
@@ -364,10 +385,13 @@ class Groth16:
         if isinstance(pk.a_query, DevicePointVec):
             import jax.numpy as jnp
 
-            from ...ops.msm_tensor import msm_ctx_for
+            from ...ops.msm_tensor import msm_ctx, msm_ctx_for
 
-            mctx = msm_ctx_for(pk.a_query.curve, self.Fr.BITS,
-                               len(pk.a_query))
+            if self.dist is not None:
+                mctx = msm_ctx(pk.a_query.curve, self.Fr.BITS)
+            else:
+                mctx = msm_ctx_for(pk.a_query.curve, self.Fr.BITS,
+                                   len(pk.a_query))
             z_digits = jnp.asarray(mctx.digits_from_ints(z))
         g_a = pk.vk.alpha_g1 + self._msm_any(pk.a_query, z, z_digits) \
             + pk.delta_g1 * r

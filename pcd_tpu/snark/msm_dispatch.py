@@ -3,6 +3,10 @@
 Small workloads use host Python points; large ones run on the device data
 plane (fixed-base gathers, Pippenger MSM) with keys kept device-resident
 as DevicePointVec.
+
+The device path is TPU-only: XLA-CPU aborts (or takes tens of minutes)
+compiling the large segmented-scan MSM graphs, and the host Python
+Pippenger over GMP-class ints beats XLA-CPU at every size anyway.
 """
 
 from __future__ import annotations
@@ -10,10 +14,16 @@ from __future__ import annotations
 DEVICE_THRESHOLD = 60000
 
 
+def _device_ok() -> bool:
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def fb_mul(cfg, which: str, scalars, scalar_bits: int, as_host: bool = False,
            force_host: bool = False):
     """[s_i] G batch for G = cfg's G1/G2 generator."""
-    if force_host or len(scalars) < DEVICE_THRESHOLD:
+    if force_host or len(scalars) < DEVICE_THRESHOLD or not _device_ok():
         from ..msm.host import FixedBaseTable
 
         curve = cfg.g1 if which == "g1" else cfg.g2
