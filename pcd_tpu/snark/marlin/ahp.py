@@ -144,10 +144,10 @@ class AHP:
         self.p = F.MODULUS
 
     # -- indexer ---------------------------------------------------------
-    def index(self, cs_rows, num_instance: int, num_vars: int) -> AHPIndex:
-        """cs_rows: list of (a_lc, b_lc, c_lc) dicts in column space
-        (instance-first).  Builds square matrices over H and index polys
-        over K."""
+    def index_dims(self, cs_rows, num_instance: int, num_vars: int):
+        """Domain selection only (no polynomial building): returns
+        (n, hx, k_size, col_map, entries_per).  Cheap — lets the caller
+        raise NeedLargerBound BEFORE paying the index FFTs."""
         p = self.p
         from ...poly.domain import _smooth_divisors
 
@@ -167,7 +167,6 @@ class AHP:
                 break
             H = EvaluationDomain.new(self.F, n + 1)
 
-        Hel = list(H.elements())
         stride = n // hx
         input_positions = [j * stride for j in range(num_instance)]
         hx_set = set(j * stride for j in range(hx))
@@ -175,9 +174,6 @@ class AHP:
         col_map = input_positions + free[: num_vars - num_instance]
         assert len(col_map) == num_vars
 
-        ninv = pow(n, -1, p)
-        mats = {}
-        raw = {}
         nnz_max = 1
         entries_per = {}
         for mi, name in enumerate("ABC"):
@@ -188,7 +184,25 @@ class AHP:
                         entries.append((r, col_map[cidx], v % p))
             entries_per[name] = entries
             nnz_max = max(nnz_max, len(entries))
-        K = EvaluationDomain.new(self.F, nnz_max)
+        k_size = EvaluationDomain.new(self.F, nnz_max).n
+        return n, hx, k_size, col_map, entries_per
+
+    def index(self, cs_rows, num_instance: int, num_vars: int,
+              dims=None) -> AHPIndex:
+        """cs_rows: list of (a_lc, b_lc, c_lc) dicts in column space
+        (instance-first).  Builds square matrices over H and index polys
+        over K."""
+        p = self.p
+        if dims is None:
+            dims = self.index_dims(cs_rows, num_instance, num_vars)
+        n, hx, k_n, col_map, entries_per = dims
+        H = self.domain(n)
+        Hel = list(H.elements())
+
+        ninv = pow(n, -1, p)
+        mats = {}
+        raw = {}
+        K = self.domain(k_n)
         for name in "ABC":
             entries = entries_per[name]
             entries = entries + [(0, 0, 0)] * (K.n - len(entries))

@@ -114,9 +114,9 @@ class MarlinSNARK:
         cs = ConstraintSystem(self.Fr)
         circuit.generate_constraints(cs)
         rows = self._matrix_rows(cs)
-        idx = self.ahp.index(rows, cs.num_instance,
-                             cs.num_instance + cs.num_witness)
-        return self._required_degree(idx.n, idx.k_size)
+        n, _, k_size, _, _ = self.ahp.index_dims(
+            rows, cs.num_instance, cs.num_instance + cs.num_witness)
+        return self._required_degree(n, k_size)
 
     @staticmethod
     def _matrix_rows(cs: ConstraintSystem):
@@ -138,11 +138,14 @@ class MarlinSNARK:
         cs = ConstraintSystem(self.Fr)
         circuit.generate_constraints(cs)
         rows = self._matrix_rows(cs)
-        idx = self.ahp.index(rows, cs.num_instance,
-                             cs.num_instance + cs.num_witness)
-        need = self._required_degree(idx.n, idx.k_size)
+        nvars = cs.num_instance + cs.num_witness
+        # size check BEFORE the expensive index-polynomial FFTs: the
+        # universal-setup retry loop probes with too-small SRSs repeatedly
+        dims = self.ahp.index_dims(rows, cs.num_instance, nvars)
+        need = self._required_degree(dims[0], dims[2])
         if need > srs.max_degree:
             raise NeedLargerBound(MarlinBound(max_degree=need))
+        idx = self.ahp.index(rows, cs.num_instance, nvars, dims=dims)
         comms = {}
         for name in "ABC":
             m = idx.mats[name]
