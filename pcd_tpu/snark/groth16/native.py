@@ -124,7 +124,9 @@ class Groth16:
                     digits = jnp.asarray(mctx.digits_from_ints(scalars))
                 return self.dist.msm(mctx, query.arrays, digits)
             mctx = msm_ctx_for(query.curve, self.Fr.BITS, len(query))
-            if digits is None:
+            if digits is None or digits.shape[0] != mctx.nwin:
+                # shared digits only help when the window size matches
+                # (G1 runs c=16/f32, G2 runs c=8/u32)
                 digits = jnp.asarray(mctx.digits_from_ints(scalars))
             arrays = (query.as_f32() if mctx.backend == "f32"
                       else query.arrays)

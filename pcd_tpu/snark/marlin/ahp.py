@@ -31,12 +31,22 @@ from ...poly.domain import EvaluationDomain, batch_inverse, poly_eval
 _DEVICE_FFT_THRESHOLD = 16384
 
 
+def _device_fft_ok() -> bool:
+    """Device FFT dispatch is TPU-only: XLA-CPU segfaults compiling the
+    large limb-arithmetic transform graphs (same compiler hazard as the
+    MSM scan graphs — see snark/msm_dispatch._device_ok)."""
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def fft_any(F, coeffs_or_evals, size: int, direction: str, coset: bool = False):
-    """Size-dispatching transform: host mixed-radix for small sizes, the
-    device FFT (pcd_tpu/ops/fft_tensor.py) for large ones."""
+    """Size-dispatching transform: host mixed-radix for small sizes or on
+    CPU, the device FFT (pcd_tpu/ops/fft_tensor.py) for large ones on
+    TPU."""
     dom = EvaluationDomain(F, size)
     vec = list(coeffs_or_evals) + [0] * (size - len(coeffs_or_evals))
-    if size < _DEVICE_FFT_THRESHOLD:
+    if size < _DEVICE_FFT_THRESHOLD or not _device_fft_ok():
         if direction == "fft":
             return dom.coset_fft(vec) if coset else dom.fft(vec)
         return dom.coset_ifft(vec) if coset else dom.ifft(vec)
@@ -68,7 +78,7 @@ def poly_mul_fft(F, a, b):
         return out
     d = EvaluationDomain.new(F, need)
     p = F.MODULUS
-    if d.n >= _DEVICE_FFT_THRESHOLD:
+    if d.n >= _DEVICE_FFT_THRESHOLD and _device_fft_ok():
         import jax.numpy as jnp
         import numpy as np
 
