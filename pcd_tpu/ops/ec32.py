@@ -275,6 +275,289 @@ class EC32Ctx:
                 f(cond, P[2], Q[2]))
 
 
+class _ExtOpsT:
+    """Binomial-extension field ops in the transposed kernel layout:
+    an element is a stack of D prime components, each (K, B) — carved
+    out of one (D*KP, B) slab.  NR must lie in the prime subfield (true
+    for the MNT towers: u^2 = 17, u^3 = 5).
+
+    Multiplication combines Karatsuba at the WIDE-product level: the
+    cross-products are added/subtracted (with a wide 512*p^2 offset so
+    wide values stay nonnegative) BEFORE one Montgomery reduction per
+    output component — outputs stay tightly in the lazy class (~2p), so
+    the small-NR scaling never inflates downstream values."""
+
+    def __init__(self, fp: Fp32Ctx, degree: int, nr: int, fld):
+        self.fp = fp
+        self.d = degree
+        self.nr = float(nr)          # small int (17 / 5): exact in f32
+        self.N0T, self.P0T, self.off, self.wideW = fld
+
+    def mul(self, a, b):
+        fp = self.fp
+        raw = fp.mulT_raw
+        red = lambda t: fp.redcT(fp.settleT(t), self.N0T, self.P0T)
+        W = self.wideW
+        nr = self.nr
+        if self.d == 2:
+            a0, a1 = a
+            b0, b1 = b
+            t00 = raw(a0, b0)
+            t11 = raw(a1, b1)
+            tmid = raw(fp.addT(a0, a1), fp.addT(b0, b1))
+            c0 = red(t00 + nr * t11)
+            c1 = red(tmid - t00 - t11 + W)
+            return (c0, c1)
+        if self.d == 3:
+            a0, a1, a2 = a
+            b0, b1, b2 = b
+            t00, t11, t22 = raw(a0, b0), raw(a1, b1), raw(a2, b2)
+            t01 = raw(fp.addT(a0, a1), fp.addT(b0, b1))
+            t02 = raw(fp.addT(a0, a2), fp.addT(b0, b2))
+            t12 = raw(fp.addT(a1, a2), fp.addT(b1, b2))
+            c0 = red(t00 + nr * (t12 - t11 - t22 + W))
+            c1 = red(t01 - t00 - t11 + nr * t22 + W)
+            c2 = red(t02 - t00 - t22 + t11 + W)
+            return (c0, c1, c2)
+        raise NotImplementedError(self.d)
+
+    def add(self, a, b):
+        return tuple(self.fp.addT(x, y) for x, y in zip(a, b))
+
+    def sub(self, a, b):
+        return tuple(self.fp.subT(x, y, self.off) for x, y in zip(a, b))
+
+
+class EC32ExtCtx:
+    """G2 curves (Fp2/Fp3 coordinates) on the f32 path: a coordinate is a
+    (n, D*KP) f32 slab (component c in lanes [c*KP, (c+1)*KP)), so the
+    generic MSM gather/scatter/select code is unchanged."""
+
+    BLOCK = 128
+
+    def __init__(self, curve):
+        self.curve = curve
+        F = curve.F
+        self.d = F.extension_degree_over_prime()
+        assert self.d in (2, 3)
+        prime = F.prime_subfield()
+        self.fp = fp32_ctx(prime.MODULUS)
+        nr = F.NR
+        self.nr_int = nr.n if hasattr(nr, "n") else nr.to_prime_coeffs()[0].n
+
+        def enc_const(e):
+            # (d, kp) rows of the Montgomery-encoded prime components
+            out = np.zeros((self.d, self.fp.kp), dtype=np.float32)
+            cs = e.to_prime_coeffs() if hasattr(e, "to_prime_coeffs") else [e]
+            for i, c in enumerate(cs):
+                out[i, : self.fp.k] = ints_to_f32_limbs_np(
+                    [c.n * self.fp.R % self.fp.p], self.fp.k)[0]
+            return out
+
+        self.a_enc = enc_const(curve.a)
+        b3 = curve.b + curve.b + curve.b
+        self.b3_enc = enc_const(b3)
+        self.a2_enc = enc_const(curve.a * curve.a)
+
+    # -- conversions ------------------------------------------------------
+    def _enc_elem(self, e):
+        fp = self.fp
+        out = np.zeros(self.d * fp.kp, dtype=np.float32)
+        cs = e.to_prime_coeffs() if hasattr(e, "to_prime_coeffs") else [e]
+        for i, c in enumerate(cs):
+            out[i * fp.kp : i * fp.kp + fp.k] = ints_to_f32_limbs_np(
+                [c.n * fp.R % fp.p], fp.k)[0]
+        return out
+
+    def encode_points(self, pts):
+        fp = self.fp
+        n = len(pts)
+        W = self.d * fp.kp
+        X = np.zeros((n, W), dtype=np.float32)
+        Y = np.zeros((n, W), dtype=np.float32)
+        Z = np.zeros((n, W), dtype=np.float32)
+        one = np.zeros(W, dtype=np.float32)
+        one[: fp.k] = fp.one_mont
+        for i, pt in enumerate(pts):
+            if pt.is_infinity():
+                Y[i] = one
+            else:
+                X[i] = self._enc_elem(pt.x)
+                Y[i] = self._enc_elem(pt.y)
+                Z[i] = one
+        return X, Y, Z
+
+    def decode_point(self, P):
+        fp = self.fp
+        F = self.curve.F
+        prime = F.prime_subfield()
+
+        def dec(arr):
+            arr = np.asarray(arr).reshape(self.d, -1)
+            return F.from_prime_coeffs(
+                [prime(fp.decode(arr[i : i + 1])[0])
+                 for i in range(self.d)])
+
+        x, y, z = (dec(c) for c in P)
+        if z.is_zero():
+            return self.curve.infinity()
+        zi = z.inv()
+        return self.curve.point(x * zi, y * zi)
+
+    def identity(self, shape=()):
+        fp = self.fp
+        W = self.d * fp.kp
+        one = np.zeros(W, dtype=np.float32)
+        one[: fp.k] = fp.one_mont
+        return (jnp.zeros(shape + (W,), dtype=jnp.float32),
+                jnp.broadcast_to(jnp.asarray(one), shape + (W,)),
+                jnp.zeros(shape + (W,), dtype=jnp.float32))
+
+    # -- addition ---------------------------------------------------------
+    def add(self, P, Q):
+        shape = P[0].shape
+        if jax.default_backend() == "tpu" and len(shape) == 2:
+            n = shape[0]
+            B = self.BLOCK
+            m = -(-n // B) * B
+            if m != n:
+                P = tuple(jnp.pad(c, [(0, m - n), (0, 0)]) for c in P)
+                Q = tuple(jnp.pad(c, [(0, m - n), (0, 0)]) for c in Q)
+            out = self._add_pallas_T(P, Q)
+            if m != n:
+                out = tuple(c[:n] for c in out)
+            return out
+        return self._add_plain(P, Q)
+
+    def _split(self, v):
+        """(..., D*KP) -> tuple of D prime components (..., KP)."""
+        kp = self.fp.kp
+        return tuple(v[..., i * kp : (i + 1) * kp] for i in range(self.d))
+
+    def _join(self, comps):
+        return jnp.concatenate(comps, axis=-1)
+
+    def _splitT(self, v):
+        """(D*KP, B) -> D x (KP, B) rows."""
+        kp = self.fp.kp
+        return tuple(v[i * kp : (i + 1) * kp, :] for i in range(self.d))
+
+    def _add_plain(self, P, Q):
+        """CPU fallback: transposed math on the last axis via swaps."""
+        fp = self.fp
+        fld = (jnp.asarray(fp.N0.T.copy(), dtype=jnp.bfloat16),
+               jnp.asarray(fp.P0.T.copy(), dtype=jnp.bfloat16),
+               jnp.asarray(fp.off4p().reshape(-1, 1)),
+               jnp.asarray(fp.wide_p_offset().reshape(-1, 1)))
+        ops = _ExtOpsT(fp, self.d, self.nr_int, fld)
+        consts = tuple(
+            tuple(jnp.asarray(arr[i].reshape(-1, 1)) for i in range(self.d))
+            for arr in (self.a_enc, self.b3_enc, self.a2_enc))
+        Pt = tuple(tuple(c.T for c in self._split(v)) for v in P)
+        Qt = tuple(tuple(c.T for c in self._split(v)) for v in Q)
+        R = _rcb_add_ext(ops, consts, Pt, Qt)
+        return tuple(self._join(tuple(c.T for c in comp)) for comp in R)
+
+    def _add_pallas_T(self, P, Q):
+        from jax.experimental import pallas as pl
+
+        fp = self.fp
+        n, W = P[0].shape
+        B = self.BLOCK
+        d = self.d
+        N0T = jnp.asarray(fp.N0.T.copy(), dtype=jnp.bfloat16)
+        P0T = jnp.asarray(fp.P0.T.copy(), dtype=jnp.bfloat16)
+
+        def full(row):
+            return jnp.asarray(
+                np.broadcast_to(np.asarray(row, dtype=np.float32
+                                           ).reshape(-1, 1),
+                                (fp.kp, B)).copy())
+
+        off = full(fp.off4p())
+        wideW = jnp.asarray(
+            np.broadcast_to(np.asarray(fp.wide_p_offset(),
+                                       dtype=np.float32).reshape(-1, 1),
+                            (fp.k2p, B)).copy())
+        cst = [full(arr[i]) for arr in (self.a_enc, self.b3_enc,
+                                        self.a2_enc) for i in range(d)]
+
+        def kernel(x1, y1, z1, x2, y2, z2, n0, p0, offr, wrow, *rest):
+            cs = rest[: 3 * d]
+            ox, oy, oz = rest[3 * d :]
+            ops = _ExtOpsT(fp, d, self.nr_int,
+                           (n0[:], p0[:], offr[:], wrow[:]))
+            consts = (tuple(c[:] for c in cs[0:d]),
+                      tuple(c[:] for c in cs[d : 2 * d]),
+                      tuple(c[:] for c in cs[2 * d : 3 * d]))
+            Pt = tuple(self._splitT(v[:].T) for v in (x1, y1, z1))
+            Qt = tuple(self._splitT(v[:].T) for v in (x2, y2, z2))
+            R = _rcb_add_ext(ops, consts, Pt, Qt)
+            for ref, comp in zip((ox, oy, oz), R):
+                ref[:] = jnp.concatenate(comp, axis=0).T
+
+        spec = pl.BlockSpec((B, W), lambda i: (i, 0))
+
+        def whole(arr):
+            return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim)
+
+        out_shape = [jax.ShapeDtypeStruct((n, W), jnp.float32)] * 3
+        fn = pl.pallas_call(
+            kernel,
+            grid=(n // B,),
+            in_specs=[spec] * 6 + [whole(N0T), whole(P0T), whole(off),
+                                   whole(wideW)]
+            + [whole(c) for c in cst],
+            out_specs=[spec] * 3,
+            out_shape=out_shape,
+        )
+        return tuple(fn(*P, *Q, N0T, P0T, off, wideW, *cst))
+
+    def double(self, P):
+        return self.add(P, P)
+
+    def neg(self, P):
+        X, Y, Z = P
+        fp = self.fp
+        off = jnp.asarray(fp.off4p())
+        comps = self._split(Y)
+        negged = tuple(fp.settle(off - c, rounds=2) for c in comps)
+        return X, self._join(negged), Z
+
+    def select(self, cond, P, Q):
+        f = self.fp.select
+        return (f(cond, P[0], Q[0]), f(cond, P[1], Q[1]),
+                f(cond, P[2], Q[2]))
+
+
+def _rcb_add_ext(ops: _ExtOpsT, consts, P, Q):
+    """RCB complete add over extension coords (components as tuples)."""
+    a_c, b3_c, a2_c = consts
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    mul, add, sub = ops.mul, ops.add, ops.sub
+
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t2 = mul(Z1, Z2)
+    t3 = sub(sub(mul(add(X1, Y1), add(X2, Y2)), t0), t1)
+    t4 = sub(sub(mul(add(X1, Z1), add(X2, Z2)), t0), t2)
+    t5 = sub(sub(mul(add(Y1, Z1), add(Y2, Z2)), t1), t2)
+    Zp = add(mul(a_c, t4), mul(b3_c, t2))
+    X3 = sub(t1, Zp)
+    Z3 = add(t1, Zp)
+    Y3 = mul(X3, Z3)
+    t1n = add(add(add(t0, t0), t0), mul(a_c, t2))
+    t2n = sub(mul(a_c, t0), mul(a2_c, t2))
+    t4n = add(mul(b3_c, t4), t2n)
+    Y3 = add(Y3, mul(t1n, t4n))
+    X3o = sub(mul(t3, X3), mul(t5, t4n))
+    Z3o = add(mul(t5, Z3), mul(t3, t1n))
+    return X3o, Y3, Z3o
+
+
 @lru_cache(maxsize=None)
-def ec32_ctx(curve) -> EC32Ctx:
-    return EC32Ctx(curve)
+def ec32_ctx(curve):
+    if curve.F.extension_degree_over_prime() == 1:
+        return EC32Ctx(curve)
+    return EC32ExtCtx(curve)

@@ -136,31 +136,39 @@ class DevicePointVec:
         """(X, Y, Z) in the f32/8-bit-limb encoding (ops/fp32.py) — lazily
         converted on device from the u32 Montgomery-2^304 representation
         (relimb 16->8 bit, then one constant multiply by 2^320 mod p to
-        land in the f32 path's Montgomery-2^312 form); cached."""
+        land in the f32 path's Montgomery-2^312 form); cached.  Extension
+        coordinates (n, d, K16) become lane-slab layout (n, d*KP)."""
         cached = getattr(self, "_f32", None)
         if cached is not None:
             return cached
         from .fp32 import fp32_ctx, ints_to_f32_limbs_np
 
         F = self.curve.F
-        assert F.extension_degree_over_prime() == 1, "f32 path is G1-only"
-        fp = fp32_ctx(F.MODULUS)
+        prime = F.prime_subfield()
+        deg = F.extension_degree_over_prime()
+        fp = fp32_ctx(prime.MODULUS)
         c_raw = ints_to_f32_limbs_np(
             [pow(2, 8 * (fp.k + 1), fp.p)], fp.k)
         c_arr = jnp.asarray(np.pad(c_raw, [(0, 0), (0, fp.kp - fp.k)])[0])
 
         @jax.jit
         def conv(a_u32):
-            n, k16 = a_u32.shape
-            lo = (a_u32 & 0xFF).astype(jnp.float32)
-            hi = (a_u32 >> 8).astype(jnp.float32)
+            shape = a_u32.shape
+            k16 = shape[-1]
+            flat = a_u32.reshape(-1, k16)
+            n = flat.shape[0]
+            lo = (flat & 0xFF).astype(jnp.float32)
+            hi = (flat >> 8).astype(jnp.float32)
             inter = jnp.stack([lo, hi], axis=-1).reshape(n, 2 * k16)
             pad = fp.kp - 2 * k16
-            if pad:
+            if pad > 0:
                 inter = jnp.pad(inter, [(0, 0), (0, pad)])
             elif pad < 0:
                 inter = inter[:, : fp.kp]
-            return fp.mul(inter, jnp.broadcast_to(c_arr, inter.shape))
+            out = fp.mul(inter, jnp.broadcast_to(c_arr, inter.shape))
+            if len(shape) == 3:  # (n, d, K16) -> (n, d*KP)
+                out = out.reshape(shape[0], shape[1] * fp.kp)
+            return out
 
         self._f32 = tuple(conv(a) for a in self.arrays)
         return self._f32

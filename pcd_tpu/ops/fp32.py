@@ -240,8 +240,11 @@ class Fp32Ctx:
                 jnp.asarray(self.P0.T.copy(), dtype=jnp.bfloat16),
                 jnp.asarray(self.off4p().reshape(-1, 1)))
 
-    def mulT(self, a, b, N0T, P0T):
-        """Montgomery product, operands (K, B)."""
+    def mulT_raw(self, a, b):
+        """Schoolbook wide product, operands (K, B) -> settled (2K, B).
+        Exposed separately so extension-field multiplication can combine
+        wide products (Karatsuba) BEFORE the single Montgomery reduction
+        per output component."""
         k, kp, k2p = self.k, self.kp, self.k2p
         a, b = jnp.broadcast_arrays(a, b)
         nb = a.shape[-1]
@@ -257,7 +260,13 @@ class Fp32Ctx:
                 prod = jnp.concatenate(
                     [prod, jnp.broadcast_to(zrow, (pad_r, nb))], axis=0)
             t = t + prod
-        t = self.settleT(t)
+        return self.settleT(t)
+
+    def redcT(self, t, N0T, P0T):
+        """Montgomery-reduce a settled wide value t (2K, B) -> (K, B).
+        Requires 0 <= t < ~R*p (t/R + p stays in the lazy class)."""
+        k, kp = self.k, self.kp
+        nb = t.shape[-1]
         t_lo = t[:kp, :]
         m = jnp.dot(N0T, t_lo.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)
@@ -275,6 +284,23 @@ class Fp32Ctx:
         carry_rows = jnp.concatenate(
             [carry, jnp.zeros((kp - 1, nb), dtype=jnp.float32)], axis=0)
         return hi + carry_rows
+
+    def mulT(self, a, b, N0T, P0T):
+        """Montgomery product, operands (K, B)."""
+        return self.redcT(self.mulT_raw(a, b), N0T, P0T)
+
+    @lru_cache(maxsize=None)
+    def wide_p_offset(self):
+        """(K2P,) f32 limbs of 512*p^2 — a wide multiple of p added to
+        Karatsuba middle terms so wide subtractions stay nonnegative
+        (512 p^2 >> any sum of wide products of lazy-class inputs, and
+        the Montgomery bound 512+eps << R/p ~ 14000 holds)."""
+        out = np.zeros(self.k2p, dtype=np.float32)
+        v = 512 * self.p * self.p
+        for i in range(self.k2p):
+            out[i] = (v >> (LB * i)) & (BASE - 1)
+        assert v >> (LB * self.k2p) == 0
+        return out
 
     def addT(self, a, b):
         return self.settleT(a + b, rounds=1)

@@ -240,7 +240,8 @@ def msm_ctx_for(curve, scalar_bits: int, n: int) -> MSMTensorCtx:
     Both are TPU-only: the 2^16-bucket scan graph crashes/stalls the
     XLA-CPU compiler, and the f32 fallback path has an unrolled-mul graph."""
     tpu = jax.default_backend() == "tpu"
-    f32_ok = tpu and curve.F.extension_degree_over_prime() == 1
+    # f32 covers prime (G1) and extension (G2 Fp2/Fp3) coordinates
+    f32_ok = tpu and curve.F.extension_degree_over_prime() in (1, 2, 3)
     # c=16 only on the f32 path: the u32 extension-coordinate scan at
     # 2^16 buckets is a compile-time hazard for no measured gain
     c = 16 if (f32_ok and n >= (1 << 16)) else 8

@@ -112,3 +112,49 @@ def test_ec32_scan_chain():
     for i in range(8):
         got = ec.decode_point(tuple(c[i] for c in accn))
         assert got == pts[i] * 50, f"row {i}"
+
+
+def test_ec32_ext_add_matches_host():
+    """G2 (Fp2 coords) on the f32 path vs host arithmetic."""
+    import jax.numpy as jnp
+
+    from pcd_tpu.curves.models import mnt_cycle
+    from pcd_tpu.ops.ec32 import ec32_ctx
+
+    cyc = mnt_cycle()
+    curve = cyc.main.g2
+    ec = ec32_ctx(curve)
+    g = cyc.main.g2_gen
+    pts_a = [g * (i + 1) for i in range(8)]
+    pts_b = [g * (5 * i + 2) for i in range(8)]
+    pts_a[2] = curve.infinity()
+    pts_b[4] = pts_a[4]  # doubling case
+    P = tuple(jnp.asarray(c) for c in ec.encode_points(pts_a))
+    Q = tuple(jnp.asarray(c) for c in ec.encode_points(pts_b))
+    R = ec.add(P, Q)
+    Rn = tuple(np.asarray(c) for c in R)
+    for i in range(8):
+        got = ec.decode_point(tuple(c[i] for c in Rn))
+        assert got == pts_a[i] + pts_b[i], f"row {i}"
+
+
+def test_ec32_ext_fp3_add_matches_host():
+    """MNT6 G2 (Fp3 coords) on the f32 path vs host arithmetic."""
+    import jax.numpy as jnp
+
+    from pcd_tpu.curves.models import mnt_cycle
+    from pcd_tpu.ops.ec32 import ec32_ctx
+
+    cyc = mnt_cycle()
+    curve = cyc.help.g2
+    ec = ec32_ctx(curve)
+    g = cyc.help.g2_gen
+    pts_a = [g * (i + 1) for i in range(4)]
+    pts_b = [g * (3 * i + 2) for i in range(4)]
+    P = tuple(jnp.asarray(c) for c in ec.encode_points(pts_a))
+    Q = tuple(jnp.asarray(c) for c in ec.encode_points(pts_b))
+    R = ec.add(P, Q)
+    Rn = tuple(np.asarray(c) for c in R)
+    for i in range(4):
+        got = ec.decode_point(tuple(c[i] for c in Rn))
+        assert got == pts_a[i] + pts_b[i], f"row {i}"
