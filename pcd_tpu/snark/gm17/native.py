@@ -75,7 +75,10 @@ class GM17PK:
 
 
 class GM17:
-    DEVICE_THRESHOLD = 60000  # SAP rows (~2x R1CS rows) above this use device
+    # SAP rows (~2x R1CS rows) above this use the device (TPU-only;
+    # lowered from 60000: the real HelpCircuit is ~31k rows and host
+    # MSMs cost ~380 s/prove — span profile, round-2 smoke)
+    DEVICE_THRESHOLD = 16384
 
     def __init__(self, curve_cfg, backend: str = "auto"):
         self.cfg = curve_cfg

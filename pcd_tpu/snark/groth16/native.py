@@ -67,7 +67,10 @@ class Groth16PK:
 class Groth16:
     # circuits above this many R1CS rows use the device (JAX) data plane
     # for key generation, proving MSMs and FFTs
-    DEVICE_THRESHOLD = 60000
+    # rows above this use the device data plane (TPU-only; lowered
+    # from 60000 after the round-2 span profile showed the ~31k-row
+    # HelpCircuit spending 380 s/prove in host MSMs)
+    DEVICE_THRESHOLD = 16384
 
     def __init__(self, curve_cfg, backend: str = "auto"):
         """curve_cfg: MNTCurveConfig — G1/G2/Fr and the pairing.

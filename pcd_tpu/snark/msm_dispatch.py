@@ -11,7 +11,7 @@ Pippenger over GMP-class ints beats XLA-CPU at every size anyway.
 
 from __future__ import annotations
 
-DEVICE_THRESHOLD = 60000
+DEVICE_THRESHOLD = 16384
 
 
 def _device_ok() -> bool:
