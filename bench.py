@@ -35,7 +35,10 @@ def _msm_bench(n, c=None):
     cfg = M.mnt4_298()
     mctx = msm_ctx_for(cfg.g1, cfg.Fr.BITS, n)
     g = cfg.g1_gen
-    pts = [g * (i % 4096 + 1) for i in range(n)]
+    base = [g]
+    for _ in range(4095):
+        base.append(base[-1] + g)
+    pts = [base[i % 4096] for i in range(n)]
     X, Y, Z = mctx.ec.encode_points(pts)
     P = (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z))
     rng = np.random.default_rng(42)
