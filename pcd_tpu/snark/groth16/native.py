@@ -398,24 +398,32 @@ class Groth16:
                 mctx = msm_ctx_for(pk.a_query.curve, self.Fr.BITS,
                                    len(pk.a_query))
             z_digits = jnp.asarray(mctx.digits_from_ints(z))
-        g_a = pk.vk.alpha_g1 + self._msm_any(pk.a_query, z, z_digits) \
-            + pk.delta_g1 * r
-        g_b2 = pk.vk.beta_g2 + self._msm_any(pk.b_g2_query, z, z_digits) \
-            + pk.vk.delta_g2 * s
-        g_b1 = pk.beta_g1 + self._msm_any(pk.b_g1_query, z, z_digits) \
-            + pk.delta_g1 * s
+        with span("msm_a"):
+            g_a = pk.vk.alpha_g1 + self._msm_any(pk.a_query, z, z_digits) \
+                + pk.delta_g1 * r
+        with span("msm_b2"):
+            g_b2 = pk.vk.beta_g2 \
+                + self._msm_any(pk.b_g2_query, z, z_digits) \
+                + pk.vk.delta_g2 * s
+        with span("msm_b1"):
+            g_b1 = pk.beta_g1 + self._msm_any(pk.b_g1_query, z, z_digits) \
+                + pk.delta_g1 * s
 
         from ...ops.fixed_base import DevicePointVec
 
         if isinstance(pk.l_query, DevicePointVec):
-            c_acc = self._msm_any(pk.l_query, z[n_inst:])
-            c_acc = c_acc + self._msm_any(pk.h_query, h)
+            with span("msm_l"):
+                c_acc = self._msm_any(pk.l_query, z[n_inst:])
+            with span("msm_h"):
+                c_acc = c_acc + self._msm_any(pk.h_query, h)
         else:
-            c_acc = self._msm_any(pk.l_query, z[n_inst:])
+            with span("msm_l"):
+                c_acc = self._msm_any(pk.l_query, z[n_inst:])
             nz = [(pt, co) for pt, co in zip(pk.h_query, h) if co]
             if nz:
-                c_acc = c_acc + self.msm([a for a, _ in nz],
-                                         [b for _, b in nz])
+                with span("msm_h"):
+                    c_acc = c_acc + self.msm([a for a, _ in nz],
+                                             [b for _, b in nz])
         g_c = c_acc + g_a * s + g_b1 * r - pk.delta_g1 * (r * s % p)
 
         return Groth16Proof(a=g_a, b=g_b2, c=g_c)
