@@ -19,10 +19,45 @@ extra fields:
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+
+def _emit(obj):
+    print(json.dumps(obj))
+    sys.stdout.flush()
+
+
+def _fail_line(error: str):
+    """Always emit the one JSON line, even when the backend is down
+    (VERDICT r2 weak #2: bench.py must degrade, not die)."""
+    _emit({
+        "metric": "msm_mnt4_298_g1_throughput_2e18",
+        "value": 0.0,
+        "unit": "Mpoints/s/chip",
+        "vs_baseline": 0.0,
+        "extra": {"error": error[:400]},
+    })
+
+
+def _probe_backend(timeout_s: int = 300) -> str | None:
+    """Initialize the accelerator in a THROWAWAY subprocess first: TPU
+    tunnel failures on this machine can hang device init forever, which
+    would hang the whole bench.  Returns an error string or None."""
+    code = ("import jax, numpy as np, jax.numpy as jnp;"
+            "x = jnp.ones((8, 128));"
+            "print(float(np.asarray(x @ x.T).sum()), jax.default_backend())")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return f"backend probe hung (> {timeout_s}s): device init stuck"
+    if r.returncode != 0:
+        return "backend probe failed: " + (r.stderr or r.stdout)[-300:]
+    return None
 
 
 def _msm_bench(n, c=None):
@@ -90,7 +125,15 @@ def _ivc_step():
 
 
 def main():
-    mpts18, warm18 = _msm_bench(1 << 18)
+    err = _probe_backend()
+    if err is not None:
+        _fail_line(err)
+        return
+    try:
+        mpts18, warm18 = _msm_bench(1 << 18)
+    except Exception as e:
+        _fail_line(f"msm bench failed: {type(e).__name__}: {e}")
+        return
     extra = {"msm_2_18_warm_s": round(warm18, 2)}
     try:
         mpts8k, _ = _msm_bench(8192)
@@ -104,13 +147,16 @@ def main():
             extra["ivc_steps_per_s"] = round(1.0 / step, 4)
     except Exception as e:  # never lose the headline metric
         extra["ivc_error"] = type(e).__name__
-    print(json.dumps({
+    import jax
+
+    extra["backend"] = jax.default_backend()
+    _emit({
         "metric": "msm_mnt4_298_g1_throughput_2e18",
         "value": round(mpts18, 4),
         "unit": "Mpoints/s/chip",
         "vs_baseline": round(mpts18 / 1.0, 4),
         "extra": extra,
-    }))
+    })
 
 
 if __name__ == "__main__":

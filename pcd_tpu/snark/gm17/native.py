@@ -93,8 +93,14 @@ class GM17:
         if self.backend == "host":
             return False
         if self.backend == "device":
+            # explicit opt-in: honored on any platform (toy-scale graphs
+            # compile fine on XLA-CPU and the device tests rely on it)
             return True
-        return n_rows >= self.DEVICE_THRESHOLD
+        # auto: size dispatch, TPU only — XLA-CPU aborts compiling the
+        # production-size MSM/FFT scan graphs (msm_dispatch._device_ok)
+        from ..msm_dispatch import _device_ok
+
+        return n_rows >= self.DEVICE_THRESHOLD and _device_ok()
 
     # -- R1CS -> SAP ----------------------------------------------------
     def _sap_rows(self, cs: ConstraintSystem):

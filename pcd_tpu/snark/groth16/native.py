@@ -90,8 +90,14 @@ class Groth16:
         if self.backend == "host":
             return False
         if self.backend == "device":
+            # explicit opt-in: honored on any platform (toy-scale graphs
+            # compile fine on XLA-CPU and the device tests rely on it)
             return True
-        return n >= self.DEVICE_THRESHOLD
+        # auto: size dispatch, TPU only — XLA-CPU aborts compiling the
+        # production-size MSM/FFT scan graphs (msm_dispatch._device_ok)
+        from ..msm_dispatch import _device_ok
+
+        return n >= self.DEVICE_THRESHOLD and _device_ok()
 
     # -- device helpers --------------------------------------------------
     def _fb_mul(self, which: str, scalars, as_host: bool = False):
