@@ -28,7 +28,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.fft_tensor import fft_ctx
-from ..ops.limbs import ctx_for
+from ..ops.limbs import ctx_for, ints_to_limbs_np
 from ..poly.domain import EvaluationDomain
 
 
@@ -74,22 +74,39 @@ class DistHPoly:
 
         fp = self.fp
 
-        def table_nat(fn):
-            vals = [fn(i) for i in range(N)]
-            return jnp.asarray(fp.encode(vals).reshape(n1, n2, fp.k))
+        def _geom(first: int, ratio: int, count: int) -> list:
+            out = [0] * count
+            cur = first
+            for i in range(count):
+                out[i] = cur
+                cur = cur * ratio % p
+            return out
 
-        def table_sigma(fn):
-            # sigma layout: position (k1, k2) holds index k2*n1 + k1
-            vals = [fn(k2 * n1 + k1) for k1 in range(n1)
-                    for k2 in range(n2)]
-            return jnp.asarray(fp.encode(vals).reshape(n1, n2, fp.k))
+        def table_stage(base):
+            # stage twiddles base^(r*c), natural (r, c) layout: row r is a
+            # geometric sequence with ratio base^r — 2N mults total instead
+            # of N modpows (the round-2 version cost ~log2(N) x more)
+            rows, br = [], 1
+            for _ in range(n1):
+                rows.extend(_geom(1, br, n2))
+                br = br * base % p
+            return jnp.asarray(fp.encode(rows).reshape(n1, n2, fp.k))
 
-        # stage twiddles w^(+-r*c) in natural (r, c) layout
-        self.tw_f = table_nat(lambda i: pow(w, (i // n2) * (i % n2), p))
-        self.tw_i = table_nat(lambda i: pow(winv, (i // n2) * (i % n2), p))
+        def table_coset(base):
+            # sigma layout: position (k1, k2) holds base^(k2*n1 + k1)
+            # = base^k1 * (base^n1)^k2 — again pure geometric accumulation
+            ratio = pow(base, n1, p)
+            rows, bk = [], 1
+            for _ in range(n1):
+                rows.extend(_geom(bk, ratio, n2))
+                bk = bk * base % p
+            return jnp.asarray(fp.encode(rows).reshape(n1, n2, fp.k))
+
+        self.tw_f = table_stage(w)
+        self.tw_i = table_stage(winv)
         # coset scales act on COEFFICIENTS, which live in sigma order
-        self.coset_s = table_sigma(lambda i: pow(g, i, p))
-        self.coset_inv_s = table_sigma(lambda i: pow(ginv, i, p))
+        self.coset_s = table_coset(g)
+        self.coset_inv_s = table_coset(ginv)
         zh_inv = pow(dom.vanishing_poly_at(g), -1, p)
         self.zh_inv = jnp.asarray(fp.to_mont_host(zh_inv))
 
@@ -168,6 +185,138 @@ class DistHPoly:
         return h
 
 
+class DistMatVec:
+    """Constraint-row-sharded sparse matvec over a mesh (SP — SURVEY.md
+    §2c / BASELINE 'witness generation sharded over constraints').
+
+    The three R1CS matrices' COO entries are partitioned into contiguous
+    row ranges (one per device, padded to a common entry count with
+    sentinel rows), each chip runs the segmented-scan row evaluation on
+    its slice with the z-vector replicated, and the outputs come back
+    row-sharded — nothing is gathered until the FFT boundary.
+    """
+
+    MAX_CHUNK = 1 << 19
+
+    def __init__(self, F, rows, n_rows: int, n_cols: int, mesh: Mesh,
+                 axis: str = "shard"):
+        """rows: list of (a_lc, b_lc, c_lc) dicts in column index space."""
+        self.fp = ctx_for(F.MODULUS)
+        self.mesh = mesh
+        self.axis = axis
+        ndev = mesh.shape[axis]
+        self.ndev = ndev
+        self.n_rows = n_rows
+        self.rows_per_dev = (n_rows + ndev - 1) // ndev
+        p = F.MODULUS
+        R = self.fp.R
+
+        self._mats = []
+        for k in range(3):
+            ri, ci, vi = [], [], []
+            for r, row in enumerate(rows):
+                for c, v in sorted(row[k].items()):
+                    if v % p:
+                        ri.append(r)
+                        ci.append(c)
+                        vi.append(v % p * R % p)
+            self._mats.append(self._partition(
+                np.asarray(ri, np.int32), np.asarray(ci, np.int32), vi))
+
+        fp = self.fp
+        rpd = self.rows_per_dev
+
+        def local(ri, ci, vals, flags, ends, offs, z_mont):
+            # shard_map local shapes: (1, nchunk, CH[, K]) — one device row
+            ri, ci = ri[0], ci[0]
+            vals, flags, ends = vals[0], flags[0], ends[0]
+            off = offs[0]
+            nchunk = ri.shape[0]
+
+            def chunk(j, acc):
+                terms = fp.mont_mul(vals[j], z_mont[ci[j]])
+
+                def comb(a, b):
+                    fa, va = a
+                    fb, vb = b
+                    s = fp.add(va, vb)
+                    return (fa | fb, fp.select(fb, vb, s))
+
+                _, scanned = jax.lax.associative_scan(
+                    comb, (flags[j], terms), axis=0)
+                # sentinel-padded rows clamp into the dropped overflow slot
+                idx = jnp.where(ends[j],
+                                jnp.minimum(ri[j] - off, jnp.int32(rpd)),
+                                jnp.int32(rpd))
+                blk = jnp.zeros((rpd + 1, fp.k), dtype=jnp.uint32)
+                blk = blk.at[idx].set(scanned)
+                # rows split across chunk boundaries contribute partial
+                # sums from each chunk — modular add, not overwrite
+                return fp.add(acc, blk[:rpd])
+
+            out = jax.lax.fori_loop(
+                0, nchunk, chunk,
+                jnp.zeros((rpd, fp.k), dtype=jnp.uint32))
+            return out[None]
+
+        ax = axis
+        self._run = jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(ax), P(None)),
+            out_specs=P(ax),
+            check_vma=False,
+        ))
+
+    def _partition(self, ri, ci, vals_mont_ints):
+        """Split COO (row-sorted) into per-device row ranges; pad every
+        device to the same chunked entry shape (sentinel rows scatter to
+        the dropped overflow slot)."""
+        fp = self.fp
+        ndev, rpd = self.ndev, self.rows_per_dev
+        vals_np = ints_to_limbs_np(vals_mont_ints, fp.k)
+        bounds = np.searchsorted(ri, np.arange(1, ndev + 1) * rpd)
+        starts = np.concatenate([[0], bounds[:-1]])
+        max_e = max(int((bounds - starts).max()), 1)
+        ch = min(self.MAX_CHUNK, 1 << int(np.ceil(np.log2(max(max_e, 2)))))
+        e_pad = ((max_e + ch - 1) // ch) * ch
+        nchunk = e_pad // ch
+
+        sent = np.int32(self.n_rows + 1)  # > any real row; maps past rpd
+        Ri = np.full((ndev, e_pad), sent, np.int32)
+        Ci = np.zeros((ndev, e_pad), np.int32)
+        Vi = np.zeros((ndev, e_pad, fp.k), np.uint32)
+        for d in range(ndev):
+            s, e = int(starts[d]), int(bounds[d])
+            Ri[d, : e - s] = ri[s:e]
+            Ci[d, : e - s] = ci[s:e]
+            Vi[d, : e - s] = vals_np[s:e]
+        prev = np.concatenate([np.full((ndev, 1), -1, np.int32),
+                               Ri[:, :-1]], axis=1)
+        flags = Ri != prev
+        ends = np.concatenate([Ri[:, 1:] != Ri[:, :-1],
+                               np.ones((ndev, 1), bool)], axis=1)
+        sh = NamedSharding(self.mesh, P(self.axis))
+        put = lambda a: jax.device_put(jnp.asarray(a), sh)
+
+        def resh(a, tail=()):
+            return a.reshape((self.ndev, nchunk, ch) + tail)
+
+        offs = (np.arange(ndev) * rpd).astype(np.int32)
+        return (put(resh(Ri)), put(resh(Ci)), put(resh(Vi, (fp.k,))),
+                put(resh(flags)), put(resh(ends)),
+                jax.device_put(jnp.asarray(offs), sh))
+
+    def apply_all(self, z_mont):
+        """z (n_cols, K) Montgomery -> list of three (ndev*rpd, K) arrays,
+        row-sharded over the mesh (rows beyond n_rows are zero)."""
+        outs = []
+        for mat in self._mats:
+            ri, ci, vi, fl, en, offs = mat
+            out = self._run(ri, ci, vi, fl, en, offs, z_mont)
+            outs.append(out.reshape(-1, self.fp.k))
+        return outs
+
+
 class DistContext:
     """Mesh-wide prover context: sharded MSM + distributed h-poly,
     injected into Groth16 via `groth16.dist = DistContext(mesh)`."""
@@ -178,6 +327,7 @@ class DistContext:
         self.ndev = mesh.shape[axis]
         self._msm_cache = {}
         self._h_cache = {}
+        self._query_cache = {}
 
     def h_poly(self, F, N):
         """DistHPoly for (F, N), or None when N has no (n1, n2) split with
@@ -191,18 +341,52 @@ class DistContext:
                 self._h_cache[key] = None
         return self._h_cache[key]
 
+    def matvec(self, F, rows, n_rows: int, n_cols: int) -> DistMatVec:
+        """Row-sharded Az/Bz/Cz evaluator for one constraint system
+        (callers cache it on the pk — partitioning touches every nnz)."""
+        return DistMatVec(F, rows, n_rows, n_cols, self.mesh, self.axis)
+
+    def _padded_query(self, arrays, n: int, m: int):
+        """Pad the point arrays to m and place them sharded over the mesh
+        (cached per query identity — pk query tables are reused across
+        every prove, so the pad + reshard must not be paid per call)."""
+        key = (id(arrays[0]), m)
+        hit = self._query_cache.get(key)
+        if hit is not None:
+            return hit
+        if m != n:
+            arrays = tuple(jnp.pad(a, [(0, m - n)] + [(0, 0)] * (a.ndim - 1))
+                           for a in arrays)
+        sharded = tuple(
+            jax.device_put(a, NamedSharding(
+                self.mesh, P(*([self.axis] + [None] * (a.ndim - 1)))))
+            for a in arrays)
+        self._query_cache[key] = sharded
+        return sharded
+
     def msm(self, mctx, arrays, digits):
-        """Sharded MSM over u32-encoded point arrays; returns host point."""
-        from .mesh import sharded_msm
+        """Sharded MSM (u32 or f32 backend): device window sums combined
+        across chips + host Horner tail; returns a host point."""
+        from .mesh import sharded_window_sums
 
         n = digits.shape[1]
-        pad = (-n) % self.ndev
-        if pad:
-            arrays = tuple(jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
-                           for a in arrays)
-            digits = jnp.pad(digits, [(0, 0), (0, pad)])
-        key = (id(mctx), digits.shape[1])
+        # pad to a power of two (collapses compiled shapes) that the mesh
+        # divides; zero digits land in the dropped zero bucket
+        m = self.ndev
+        while m < n:
+            m *= 2
+        arrays = self._padded_query(arrays, n, m)
+        if m != n:
+            digits = jnp.pad(digits, [(0, 0), (0, m - n)])
+        key = (id(mctx), m)
         if key not in self._msm_cache:
-            self._msm_cache[key] = sharded_msm(mctx, self.mesh, self.axis)
-        out = self._msm_cache[key](arrays, digits)
-        return mctx.ec.decode_point(tuple(np.asarray(c) for c in out))
+            self._msm_cache[key] = sharded_window_sums(
+                mctx, self.mesh, self.axis)
+        ws = self._msm_cache[key](arrays, digits)
+        wsn = tuple(np.asarray(c) for c in ws)
+        acc = mctx.curve.infinity()
+        for w in reversed(range(mctx.nwin)):
+            for _ in range(mctx.c):
+                acc = acc.double()
+            acc = acc + mctx.ec.decode_point(tuple(c[w] for c in wsn))
+        return acc

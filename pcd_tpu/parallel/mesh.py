@@ -66,6 +66,45 @@ def sharded_msm(msm_ctx, mesh: Mesh, axis: str = "shard"):
     return run
 
 
+def sharded_window_sums(msm_ctx, mesh: Mesh, axis: str = "shard"):
+    """Sharded Pippenger window sums: points + digit columns sharded over
+    `axis`, each chip computes its local per-window bucket sums, partials
+    are all_gathered and tree-combined with BATCHED EC adds (one add per
+    device over the whole window axis).  The Horner tail (c doublings +
+    one add per window on batch-1 data) runs on host — same split as the
+    single-chip f32 path (ops/msm_tensor.msm_to_host), which keeps the
+    fused f32 kernels (the round-2 5-7x win) usable under shard_map.
+
+    Returns fn((X, Y, Z), digits) -> stacked (nwin_pad, ...) window-sum
+    coords, replicated."""
+    ec = msm_ctx.ec
+    ndev = mesh.shape[axis]
+
+    def local(X, Y, Z, digits):
+        ws = msm_ctx._window_sums_impl((X, Y, Z), digits)
+        g = tuple(jax.lax.all_gather(c, axis) for c in ws)  # (ndev, nwin,...)
+
+        def body(i, acc):
+            return ec.add(acc, tuple(c[i] for c in g))
+
+        return jax.lax.fori_loop(1, ndev, body,
+                                 tuple(c[0] for c in g))
+
+    shmapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(None, axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(Pts, digits):
+        return shmapped(Pts[0], Pts[1], Pts[2], digits)
+
+    return run
+
+
 def shard_batch(arr, mesh: Mesh, axis_name: str, dim: int = 0):
     """Place an array sharded along `dim` over the mesh axis."""
     spec = [None] * arr.ndim

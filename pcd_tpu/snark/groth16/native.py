@@ -125,13 +125,8 @@ class Groth16:
         if isinstance(query, DevicePointVec):
             import jax.numpy as jnp
 
-            from ...ops.msm_tensor import msm_ctx, msm_ctx_for
+            from ...ops.msm_tensor import msm_ctx_for
 
-            if self.dist is not None:
-                mctx = msm_ctx(query.curve, self.Fr.BITS)  # u32: shard_map
-                if digits is None:
-                    digits = jnp.asarray(mctx.digits_from_ints(scalars))
-                return self.dist.msm(mctx, query.arrays, digits)
             mctx = msm_ctx_for(query.curve, self.Fr.BITS, len(query))
             if digits is None or digits.shape[0] != mctx.nwin:
                 # shared digits only help when the window size matches
@@ -139,6 +134,8 @@ class Groth16:
                 digits = jnp.asarray(mctx.digits_from_ints(scalars))
             arrays = (query.as_f32() if mctx.backend == "f32"
                       else query.arrays)
+            if self.dist is not None:
+                return self.dist.msm(mctx, arrays, digits)
             return mctx.msm_to_host(arrays, digits)
         nz = [(pt, s) for pt, s in zip(query, scalars) if s]
         if not nz:
@@ -325,17 +322,28 @@ class Groth16:
                 from ...ops.fft_tensor import fft_ctx
 
                 fctx = fft_ctx(self.Fr, domain.n)
-                # device sparse matvec feeding the device FFT directly
-                # (chunked scan: arbitrary nnz)
-                from ...ops.matvec_tensor import matrices_to_device
-
-                mats = getattr(pk, "_dev_mats", None)
-                if mats is None:
-                    mats = matrices_to_device(self.Fr, rows, domain.n,
-                                              num_vars)
-                    pk._dev_mats = mats
                 z_mont = jnp.asarray(fctx.fp.encode(z))
-                evs = jnp.stack([m.apply(z_mont) for m in mats])
+                if self.dist is not None:
+                    # SP: constraint rows sharded over the mesh, z
+                    # replicated; nothing gathered until the FFT boundary
+                    dmv = getattr(pk, "_dist_mats", None)
+                    if dmv is None:
+                        dmv = self.dist.matvec(self.Fr, rows, domain.n,
+                                               num_vars)
+                        pk._dist_mats = dmv
+                    evs = jnp.stack([e[: domain.n]
+                                     for e in dmv.apply_all(z_mont)])
+                else:
+                    # device sparse matvec feeding the device FFT
+                    # directly (chunked scan: arbitrary nnz)
+                    from ...ops.matvec_tensor import matrices_to_device
+
+                    mats = getattr(pk, "_dev_mats", None)
+                    if mats is None:
+                        mats = matrices_to_device(self.Fr, rows, domain.n,
+                                                  num_vars)
+                        pk._dev_mats = mats
+                    evs = jnp.stack([m.apply(z_mont) for m in mats])
                 if replayed:
                     # satisfiability check on device (the host-side
                     # first_unsatisfied() ran only on the synthesis pass)
@@ -396,13 +404,10 @@ class Groth16:
         if isinstance(pk.a_query, DevicePointVec):
             import jax.numpy as jnp
 
-            from ...ops.msm_tensor import msm_ctx, msm_ctx_for
+            from ...ops.msm_tensor import msm_ctx_for
 
-            if self.dist is not None:
-                mctx = msm_ctx(pk.a_query.curve, self.Fr.BITS)
-            else:
-                mctx = msm_ctx_for(pk.a_query.curve, self.Fr.BITS,
-                                   len(pk.a_query))
+            mctx = msm_ctx_for(pk.a_query.curve, self.Fr.BITS,
+                               len(pk.a_query))
             z_digits = jnp.asarray(mctx.digits_from_ints(z))
         with span("msm_a"):
             g_a = pk.vk.alpha_g1 + self._msm_any(pk.a_query, z, z_digits) \

@@ -71,6 +71,41 @@ def test_dist_msm_matches_host():
     assert got == host_msm(pts, scalars)
 
 
+def test_dist_matvec_matches_host():
+    """SP row sharding: Az/Bz/Cz from the row-sharded matvec must equal
+    the host sparse evaluation (rows partitioned across all 8 devices,
+    z replicated)."""
+    import jax.numpy as jnp
+
+    from pcd_tpu.ops.limbs import ctx_for
+    from pcd_tpu.parallel.dist import DistContext
+
+    cfg = M.toy_mnt4()
+    F = cfg.Fr
+    p = F.MODULUS
+    rng = np.random.default_rng(7)
+    n_rows, n_cols = 101, 37  # deliberately not multiples of 8
+    rows = []
+    for r in range(n_rows):
+        def lc():
+            return {int(c): int(rng.integers(1, p))
+                    for c in rng.choice(n_cols, rng.integers(0, 6),
+                                        replace=False)}
+        rows.append((lc(), lc(), lc()))
+    z = [int(rng.integers(0, p)) for _ in range(n_cols)]
+
+    dctx = DistContext(_mesh())
+    dmv = dctx.matvec(F, rows, n_rows, n_cols)
+    fp = ctx_for(p)
+    outs = dmv.apply_all(jnp.asarray(fp.encode(z)))
+
+    for k in range(3):
+        got = fp.decode(np.asarray(outs[k]))[:n_rows]
+        want = [sum(co * z[c] for c, co in rows[r][k].items()) % p
+                for r in range(n_rows)]
+        assert got == want, f"matrix {k} mismatch"
+
+
 @pytest.mark.pcd_toy
 def test_groth16_prove_with_dist_context():
     """Full Groth16 prove on the device path with the distributed context:

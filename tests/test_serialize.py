@@ -108,3 +108,44 @@ def test_pcd_pk_checkpoint_roundtrip():
     v2 = F.from_int(2)
     p2 = pcd.prove(pk2, pred, v2, one, [one], [p1], rng)
     assert pcd.verify(vk, pred, v2, p2)
+
+
+def test_ark_compat_point_roundtrip():
+    """ark-serialize-layout SW points (compressed + uncompressed) round-trip
+    for G1 (prime base field) and G2 (extension base field), including
+    infinity and both y signs (VERDICT r2 item 9; layout pinned from the
+    ark-serialize Cargo.toml:16 dependency — flags in the top two bits of
+    the final coefficient byte)."""
+    for cfg in (M.toy_mnt4(), M.toy_mnt6()):
+        for curve, gen in ((cfg.g1, cfg.g1_gen), (cfg.g2, cfg.g2_gen)):
+            pts = [gen, gen * 2, gen * 3, -gen, -(gen * 5), curve.infinity()]
+            for pt in pts:
+                for compressed in (True, False):
+                    b = S.ark_point_to_bytes(pt, compressed)
+                    assert len(b) == S.ark_point_size(curve, compressed)
+                    got, off = S.ark_point_from_bytes(curve, b, compressed)
+                    assert off == len(b)
+                    assert got == pt, (curve.name, compressed)
+
+
+def test_ark_compat_sign_flag_selects_root():
+    """The compressed encodings of P and -P differ only in the sign flag
+    and decode to distinct points."""
+    cfg = M.toy_mnt4()
+    g = cfg.g1_gen * 7
+    b_pos = S.ark_point_to_bytes(g, True)
+    b_neg = S.ark_point_to_bytes(-g, True)
+    assert b_pos[:-1] == b_neg[:-1]
+    assert b_pos[-1] != b_neg[-1]
+    p1, _ = S.ark_point_from_bytes(cfg.g1, b_pos, True)
+    p2, _ = S.ark_point_from_bytes(cfg.g1, b_neg, True)
+    assert p1 == g and p2 == -g
+
+
+def test_ark_compat_rejects_bad_bytes():
+    cfg = M.toy_mnt4()
+    size = S.ark_point_size(cfg.g1, True)
+    # coefficient >= modulus must be rejected
+    bad = bytes([0xFF] * (size - 1)) + bytes([0x3F])
+    with pytest.raises(ValueError):
+        S.ark_point_from_bytes(cfg.g1, bad, True)
