@@ -10,10 +10,16 @@ Mirrors pcd_tpu/pairing/ate.py step-for-step over symbolic towers:
     part as a multi-exponentiation over constant base-q digits with free
     Frobenius maps.
 
-Completeness caveat mirrored from the reference (SURVEY.md §7 hard part 1):
-inputs at infinity / degenerate additions make the constraints unsatisfiable
-rather than wrong — honest Groth16/GM17 artifacts avoid them with
-overwhelming probability.
+Completeness caveat mirrored from the reference (SURVEY.md §7 hard part 1;
+the reference carries the same risk via new_verification_key_unchecked,
+data_structures.rs:153-162): inputs at infinity / degenerate additions make
+the constraints unsatisfiable rather than wrong — honest Groth16/GM17
+artifacts avoid them with overwhelming probability.  The failure mode is
+always DIAGNOSABLE, never silently-accepting: a zero slope denominator
+raises SynthesisError at synthesis (gadgets/fp.py inv()), the affine
+allocator refuses infinity, and raw zero coordinates drive the
+verification boolean False (pinned by
+tests/test_groth16_gadget.py::test_pairing_gadget_degenerate_inputs_diagnosable).
 """
 
 from __future__ import annotations

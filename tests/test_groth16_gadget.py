@@ -138,3 +138,49 @@ def test_vk_bytes_native_matches_gadget():
     gadget_bytes = bytes(b.value for b in gadget.vk_to_bytes(vk_var))
     assert native == gadget_bytes
     assert len(native) > 0
+
+
+def test_pairing_gadget_degenerate_inputs_diagnosable():
+    """Completeness caveat pinned (VERDICT r2 item 10; mirrors the
+    reference's new_verification_key_unchecked skip-subgroup-checks caveat,
+    data_structures.rs:153-162): degenerate pairing-gadget inputs must be
+    DIAGNOSABLE — a SynthesisError or a False verification boolean — never
+    a silently-true result.
+
+    - a G2 input at infinity (zero coords, the placeholder-proof shape)
+      hits a zero slope-denominator inverse -> SynthesisError
+    - the affine allocator refuses infinity outright
+    - a (0, 0)-shaped G1 input yields a False pairing-product boolean
+    """
+    from pcd_tpu.r1cs.system import SynthesisError
+
+    cfg = M.toy_mnt4()
+    cs = ConstraintSystem(cfg.Fq)
+    V = fpvar_class(cs)
+    tower = circuit_tower(cs, cfg)
+    pg = PairingGadget(cs, cfg)
+    P, Q = cfg.g1_gen * 3, cfg.g2_gen * 11
+    mkP = lambda pt: AffinePointVar.alloc(cfg.g1, pt,
+                                          lambda e: V.new_witness(e.n))
+    mkQ = lambda pt: AffinePointVar.alloc(cfg.g2, pt,
+                                          tower.lift_half_witness)
+
+    # 1. the allocator refuses infinity
+    with pytest.raises(AssertionError):
+        AffinePointVar.alloc(cfg.g1, cfg.g1.infinity(),
+                             lambda e: V.new_witness(e.n))
+
+    # 2. G2 "infinity" smuggled in as raw (0, 0) coords: the first
+    # doubling's slope denominator 2y is zero -> diagnosable SynthesisError
+    half_zero = cfg.g2.F.zero()
+    q_inf = AffinePointVar(cfg.g2, tower.lift_half_witness(half_zero),
+                           tower.lift_half_witness(half_zero))
+    with pytest.raises(SynthesisError):
+        pg.miller_loop(mkP(P), q_inf)
+
+    # 3. G1 (0, 0) coords: wrong pairing value, but the product boolean is
+    # False — the verification equation rejects rather than accepts
+    zero = V.new_witness(0)
+    p_zero = AffinePointVar(cfg.g1, zero, zero)
+    out = pg.product_of_pairings_is_one([(p_zero, mkQ(Q)), (mkP(-P), mkQ(Q))])
+    assert out.value is False
