@@ -332,7 +332,8 @@ class MarlinVerifierGadget:
         vals1 = [ev[nm] for nm in _B1_POLYS] \
             + [ev["g_1"].mul(V, beta1.pow_const(V, d - (vk_var.n - 2)))]
         ok_kzg1 = self._kzg_batch_boolean(cs, vk_var, comm_list1, vals1,
-                                          beta1, beta1_bits, xi, proof_var.pi1)
+                                          beta1, beta1_bits, xi, xi_bits,
+                                          proof_var.pi1)
         shift3 = beta3.pow_const(V, d - (vk_var.k_size - 2))
         comm_list3 = ([vk_var.index_comms[nm] for nm in _B3_POLYS[:9]]
                       + [proof_var.comms3[f"g_3{n}"] for n in "ABC"]
@@ -341,31 +342,32 @@ class MarlinVerifierGadget:
         vals3 = [ev[nm] for nm in _B3_POLYS] \
             + [ev[f"g_3{n}"].mul(V, shift3) for n in "ABC"]
         ok_kzg3 = self._kzg_batch_boolean(cs, vk_var, comm_list3, vals3,
-                                          beta3, beta3_bits, xi, proof_var.pi3)
+                                          beta3, beta3_bits, xi, xi_bits,
+                                          proof_var.pi3)
 
         return ok_i & ok_ii & ok_iii & ok_kzg1 & ok_kzg3
 
     verify_with_processed_vk = verify
 
     def _kzg_batch_boolean(self, cs, vk_var, comms, values, point_nn,
-                           point_bits, xi, pi):
+                           point_bits, xi, xi_bits, pi):
         """Boolean: e(sum xi^i C_i - (sum xi^i y_i) G, H)
-                    * e(-pi, tau H - z H) == 1."""
+                    * e(-pi, tau H - z H) == 1.
+
+        The xi-power combination runs as a HORNER chain from the highest
+        index down (acc = xi*acc + C_i): each step multiplies by the
+        128-bit challenge instead of a full-field-width xi^i, which at
+        MNT-298 scale cuts the dominant scalar-mul cost ~2.3x and drops
+        the nonnative xi-power chain entirely.  The combined group element
+        and value are identical to the power form, so the prover's batched
+        opening pi verifies unchanged."""
         V, pg, P = self._ctx(cs)
-        # xi powers (nonnative) and their bit forms
-        acc_comm = None
-        y_comb = NonNativeVar.constant(V, P, 0)
-        cur = NonNativeVar.constant(V, P, 1)
-        for i, (c, y) in enumerate(zip(comms, values)):
-            if i == 0:
-                term = c.to_proj()
-            else:
-                bits = cur.to_bits_le(V)
-                term = self._smul(c, bits)
-            acc_comm = term if acc_comm is None else acc_comm.add(term)
-            y_comb = y_comb.add(V, y.mul(V, cur))
-            if i + 1 < len(comms):
-                cur = cur.mul(V, xi)
+        acc_comm = comms[-1].to_proj()
+        y_comb = values[-1]
+        for c, y in zip(reversed(comms[:-1]), reversed(values[:-1])):
+            acc_comm = SWProjVar.scalar_mul_bits(acc_comm, xi_bits)
+            acc_comm = acc_comm.add(c.to_proj())
+            y_comb = y_comb.mul(V, xi).add(V, y)
         from ...gadgets.sw import safe_affine, sym_eq_boolean
 
         tower = circuit_tower(fpcls_cs := V.CS, self.cfg)

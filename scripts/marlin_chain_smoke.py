@@ -13,6 +13,13 @@ sys.path.insert(0, "/root/repo")
 
 
 def main():
+    if "--cpu" in sys.argv:
+        # grind the toy chain on host (no TPU required; device init can
+        # hang when the tunnel is down).  Must be set via jax.config —
+        # the axon plugin overrides the JAX_PLATFORMS env var at import.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from pcd_tpu import configs
     from pcd_tpu.pcd.api import FpPredicate
     from pcd_tpu.snark.marlin.native import MarlinBound
