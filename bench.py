@@ -77,10 +77,13 @@ def _msm_bench(n, c=None):
     X, Y, Z = mctx.ec.encode_points(pts)
     P = (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z))
     rng = np.random.default_rng(42)
+    r = cfg.g1.order
 
     def digits():
-        return jnp.asarray(rng.integers(
-            0, 1 << mctx.c, size=(mctx.nwin, n)).astype(np.uint32))
+        # through the ctx encoder: respects the signed-digit recoding
+        scalars = [int(x) for x in rng.integers(1, 1 << 63, size=n)]
+        scalars = [(s * 0x9E3779B97F4A7C15) % r for s in scalars]
+        return jnp.asarray(mctx.digits_from_ints(scalars))
 
     mctx.msm_to_host(P, digits())  # compile + warm
     times = []

@@ -35,8 +35,11 @@ class MSMTensorCtx:
     # memory at window_chunk copies of the point set
     WINDOW_CHUNK = 8
 
+    # sign marker for signed-digit encoding (bit 31 of the uint32 digit)
+    SIGN_BIT = np.uint32(1 << 31)
+
     def __init__(self, curve, scalar_bits: int, c: int = 8,
-                 backend: str = "u32"):
+                 backend: str = "u32", signed: bool = False):
         assert LIMB_BITS % c == 0, "window must divide limb size"
         if backend == "f32":
             from .ec32 import ec32_ctx
@@ -48,30 +51,67 @@ class MSMTensorCtx:
         self.curve = curve
         self.c = c
         self.scalar_bits = scalar_bits
-        self.nwin = (scalar_bits + c - 1) // c
+        self.signed = signed
+        base = (scalar_bits + c - 1) // c
+        # signed recoding keeps |digit| <= 2^(c-1) (half the buckets) at
+        # the cost of one carry-out window
+        self.nwin = base + 1 if signed else base
 
     # -- host-side digit extraction -------------------------------------
-    def digits_from_ints(self, scalars) -> np.ndarray:
-        """(nwin, n) uint32 window digits, LSB window first."""
+    def _unsigned_digits(self, scalars, nwin: int) -> np.ndarray:
         n = len(scalars)
         if self.c == 8:
             # bytes ARE the digits: vectorized via the to_bytes fast path
-            buf = b"".join(int(s).to_bytes(self.nwin, "little")
+            buf = b"".join(int(s).to_bytes(nwin, "little")
                            for s in scalars)
-            arr = np.frombuffer(buf, dtype=np.uint8).reshape(n, self.nwin)
+            arr = np.frombuffer(buf, dtype=np.uint8).reshape(n, nwin)
             return np.ascontiguousarray(arr.T).astype(np.uint32)
         if self.c == 16:
-            buf = b"".join(int(s).to_bytes(2 * self.nwin, "little")
+            buf = b"".join(int(s).to_bytes(2 * nwin, "little")
                            for s in scalars)
-            arr = np.frombuffer(buf, dtype="<u2").reshape(n, self.nwin)
+            arr = np.frombuffer(buf, dtype="<u2").reshape(n, nwin)
             return np.ascontiguousarray(arr.T).astype(np.uint32)
-        out = np.zeros((self.nwin, n), dtype=np.uint32)
+        out = np.zeros((nwin, n), dtype=np.uint32)
         mask = (1 << self.c) - 1
         for j, s in enumerate(scalars):
             s = int(s)
-            for w in range(self.nwin):
+            for w in range(nwin):
                 out[w, j] = (s >> (w * self.c)) & mask
         return out
+
+    def digits_from_ints(self, scalars) -> np.ndarray:
+        """(nwin, n) uint32 window digits, LSB window first.  In signed
+        mode each digit is |d| with the sign in bit 31 and |d| <= 2^(c-1)
+        (the kernel negates gathered points instead of doubling the bucket
+        count)."""
+        if not self.signed:
+            return self._unsigned_digits(scalars, self.nwin)
+        base = self.nwin - 1
+        raw = self._unsigned_digits(scalars, base).astype(np.int64)
+        half = 1 << (self.c - 1)
+        full = 1 << self.c
+        n = raw.shape[1]
+        out = np.zeros((self.nwin, n), dtype=np.uint32)
+        carry = np.zeros(n, dtype=np.int64)
+        for w in range(base):
+            d = raw[w] + carry
+            carry = (d >= half).astype(np.int64)
+            d = d - carry * full
+            neg = d < 0
+            out[w] = np.where(neg, (-d).astype(np.uint32) | self.SIGN_BIT,
+                              d.astype(np.uint32))
+        out[base] = carry.astype(np.uint32)
+        return out
+
+    def window_chunk(self, n: int) -> int:
+        """Windows vmapped per scan step (also the alignment unit of the
+        stacked window-sum output — parallel/mesh.sharded_msm_windows
+        relies on it when sharding the window axis)."""
+        if self.backend == "f32" or self.c >= 16 or n > (1 << 16):
+            return 1
+        if n <= (1 << 14):
+            return self.WINDOW_CHUNK
+        return 2
 
     # -- device kernel ----------------------------------------------------
     def _window_sums_impl(self, P, digits):
@@ -79,14 +119,28 @@ class MSMTensorCtx:
         (nwin_padded, ...)."""
         ec = self.ec
         n = digits.shape[1]
-        nbuckets = 1 << self.c
+        # signed mode: |digit| <= 2^(c-1); gathered points carry the sign
+        nbuckets = (1 << (self.c - 1)) + 1 if self.signed else 1 << self.c
 
         def window_body(digits_w):
-            order = jnp.argsort(digits_w)
-            d_sorted = digits_w[order]
-            Xs = P[0][order]
-            Ys = P[1][order]
-            Zs = P[2][order]
+            if self.signed:
+                mag = digits_w & jnp.uint32(0x7FFFFFFF)
+                sgn = (digits_w >> 31).astype(jnp.bool_)
+                order = jnp.argsort(mag)
+                d_sorted = mag[order]
+                sgn_s = sgn[order]
+                Xs = P[0][order]
+                Ys = P[1][order]
+                Zs = P[2][order]
+                _, Yn, _ = ec.neg((Xs, Ys, Zs))
+                sel = ec.select(sgn_s, (Xs, Yn, Zs), (Xs, Ys, Zs))
+                Xs, Ys, Zs = sel
+            else:
+                order = jnp.argsort(digits_w)
+                d_sorted = digits_w[order]
+                Xs = P[0][order]
+                Ys = P[1][order]
+                Zs = P[2][order]
             # segment-start flags
             prev = jnp.concatenate(
                 [jnp.full((1,), 0xFFFFFFFF, dtype=d_sorted.dtype),
@@ -129,14 +183,12 @@ class MSMTensorCtx:
         # (amortizes the small per-window ops).  W shrinks with the point
         # count (and with the bucket count at c=16) to bound the working
         # set.
-        if self.backend == "f32" or self.c >= 16 or n > (1 << 16):
-            W = 1
-        elif n <= (1 << 14):
-            W = self.WINDOW_CHUNK
-        else:
-            W = 2
-        nw_pad = ((self.nwin + W - 1) // W) * W
-        dpad = jnp.pad(digits, [(0, nw_pad - self.nwin), (0, 0)])
+        W = self.window_chunk(n)
+        # digits.shape[0] (not self.nwin): callers may pass a window-axis
+        # SHARD of the digit matrix (parallel/mesh.sharded_msm_windows)
+        nwin_in = digits.shape[0]
+        nw_pad = ((nwin_in + W - 1) // W) * W
+        dpad = jnp.pad(digits, [(0, nw_pad - nwin_in), (0, 0)])
         dchunks = dpad.reshape(nw_pad // W, W, n)
         vbody = jax.vmap(window_body)
 
@@ -228,16 +280,19 @@ class MSMTensorCtx:
 
 @lru_cache(maxsize=None)
 def msm_ctx(curve, scalar_bits: int, c: int = 8,
-            backend: str = "u32") -> MSMTensorCtx:
-    return MSMTensorCtx(curve, scalar_bits, c, backend)
+            backend: str = "u32", signed: bool = False) -> MSMTensorCtx:
+    return MSMTensorCtx(curve, scalar_bits, c, backend, signed)
 
 
 def msm_ctx_for(curve, scalar_bits: int, n: int) -> MSMTensorCtx:
     """Backend + window size by problem size and platform:
     - f32 fused-Pallas EC adds on TPU for prime-coordinate curves
       (measured: 0.096 Mpoints/s at n=2^18 vs 0.019 on the u32 path);
-    - c=16 at n >= 2^16: half the window count, amortized bucket phase.
-    Both are TPU-only: the 2^16-bucket scan graph crashes/stalls the
+    - c=16 at n >= 2^16: half the window count, amortized bucket phase;
+    - signed digits: |d| <= 2^(c-1) halves the bucket suffix-scan work
+      (a negate + select on gathered points is far cheaper than 2^(c-1)
+      extra bucket EC adds per window).
+    f32/c=16 are TPU-only: the 2^16-bucket scan graph crashes/stalls the
     XLA-CPU compiler, and the f32 fallback path has an unrolled-mul graph."""
     tpu = jax.default_backend() == "tpu"
     # f32 covers prime (G1) and extension (G2 Fp2/Fp3) coordinates
@@ -245,4 +300,5 @@ def msm_ctx_for(curve, scalar_bits: int, n: int) -> MSMTensorCtx:
     # c=16 only on the f32 path: the u32 extension-coordinate scan at
     # 2^16 buckets is a compile-time hazard for no measured gain
     c = 16 if (f32_ok and n >= (1 << 16)) else 8
-    return msm_ctx(curve, scalar_bits, c, "f32" if f32_ok else "u32")
+    return msm_ctx(curve, scalar_bits, c, "f32" if f32_ok else "u32",
+                   signed=True)

@@ -105,6 +105,51 @@ def sharded_window_sums(msm_ctx, mesh: Mesh, axis: str = "shard"):
     return run
 
 
+def sharded_msm_windows(msm_ctx, mesh: Mesh, axis: str = "shard"):
+    """TP variant (SURVEY.md §2c 'bucket-parallel Pippenger'): the WINDOW
+    axis — and with it the whole bucket phase — is sharded over chips;
+    every chip holds the full point set and computes the bucket
+    scatter/suffix-scan for its window subset only.  No cross-chip
+    traffic during accumulation; the per-window sums (nwin points, tiny)
+    are all_gathered at the end for the Horner tail.
+
+    Complements `sharded_window_sums` (DP over points): DP wins when the
+    point set dwarfs HBM per chip; TP wins when points fit everywhere and
+    the bucket phase dominates (large c, moderate n).
+
+    Returns fn((X, Y, Z), digits) -> stacked (nwin_padded, ...) window-sum
+    coords, replicated, nwin_padded = ceil(nwin/ndev)*ndev."""
+    ndev = mesh.shape[axis]
+
+    def local(X, Y, Z, digits):
+        ws = msm_ctx._window_sums_impl((X, Y, Z), digits)
+        return tuple(jax.lax.all_gather(c, axis, tiled=True) for c in ws)
+
+    shmapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None), P(None), P(None), P(axis, None)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(Pts, digits):
+        nwin, n = digits.shape
+        # per-device window count must be a multiple of the kernel's
+        # internal vmap chunk, or the local zero-padding would interleave
+        # garbage rows into the tiled all_gather layout
+        step = ndev * msm_ctx.window_chunk(n)
+        pad = (-nwin) % step
+        if pad:
+            # zero-digit windows sum to identity and are ignored by the
+            # Horner tail (which walks msm_ctx.nwin windows only)
+            digits = jnp.pad(digits, [(0, pad), (0, 0)])
+        return shmapped(Pts[0], Pts[1], Pts[2], digits)
+
+    return run
+
+
 def shard_batch(arr, mesh: Mesh, axis_name: str, dim: int = 0):
     """Place an array sharded along `dim` over the mesh axis."""
     spec = [None] * arr.ndim

@@ -135,3 +135,35 @@ def test_groth16_prove_with_dist_context():
     proof = snark.prove(pk, Circ(), rng)
     assert snark.verify(vk, [cfg.Fr.from_int(35)], proof)
     assert not snark.verify(vk, [cfg.Fr.from_int(36)], proof)
+
+
+def test_tp_window_sharded_msm_matches_host():
+    """TP: the window/bucket axis sharded over the 8-device mesh (points
+    replicated), Horner tail on host — must equal the host oracle."""
+    import jax.numpy as jnp
+
+    from pcd_tpu.msm.host import msm as host_msm
+    from pcd_tpu.ops.msm_tensor import msm_ctx
+    from pcd_tpu.parallel.mesh import sharded_msm_windows
+
+    cfg = M.toy_mnt4()
+    r = cfg.g1.order
+    mesh = _mesh()
+    mctx = msm_ctx(cfg.g1, cfg.Fr.BITS, signed=True)
+    rng = np.random.default_rng(11)
+    g = cfg.g1_gen
+    n = 64
+    pts = [g * int(rng.integers(1, r)) for _ in range(n)]
+    scalars = [int(rng.integers(0, r)) for _ in range(n)]
+    X, Y, Z = mctx.ec.encode_points(pts)
+    digits = jnp.asarray(mctx.digits_from_ints(scalars))
+
+    run = sharded_msm_windows(mctx, mesh)
+    ws = run((jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z)), digits)
+    wsn = tuple(np.asarray(c) for c in ws)
+    acc = cfg.g1.infinity()
+    for w in reversed(range(mctx.nwin)):
+        for _ in range(mctx.c):
+            acc = acc.double()
+        acc = acc + mctx.ec.decode_point(tuple(c[w] for c in wsn))
+    assert acc == host_msm(pts, scalars)

@@ -264,3 +264,50 @@ def test_distributed_fft_all_to_all():
     dom = EvaluationDomain(F, n1 * n2)
     want = dom.fft(coeffs)
     assert got == want
+
+
+@pytest.mark.parametrize("c", [4, 8])
+def test_msm_tensor_signed_digits_match_host(c):
+    """Signed-digit windows (|d| <= 2^(c-1), sign bit 31, carry-out
+    window): must equal the host oracle including zero / max scalars,
+    infinity points, and scalars that exercise long carry chains."""
+    from pcd_tpu.msm.host import msm as host_msm
+    from pcd_tpu.ops.msm_tensor import msm_ctx
+
+    cfg = M.toy_mnt4()
+    r = cfg.g1.order
+    ctx = msm_ctx(cfg.g1, cfg.Fr.BITS, c=c, signed=True)
+    assert ctx.signed and ctx.nwin == (cfg.Fr.BITS + c - 1) // c + 1
+    g = cfg.g1_gen
+    n = 50
+    pts = [g * rng.randrange(1, r) for _ in range(n)]
+    scalars = [rng.randrange(r) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = r - 1
+    # all-ones bit patterns: every window recodes with a carry
+    scalars[2] = (1 << (cfg.Fr.BITS - 1)) - 1
+    scalars[3] = (1 << (c - 1))           # exactly half: kept positive
+    scalars[4] = (1 << c) - 1             # -1 + carry into next window
+    pts[5] = cfg.g1.infinity()
+    assert ctx.msm(pts, scalars) == host_msm(pts, scalars)
+
+
+def test_msm_signed_digit_recoding_values():
+    """digits_from_ints (signed): sum of d_w * 2^(c*w) reconstructs the
+    scalar exactly."""
+    from pcd_tpu.ops.msm_tensor import msm_ctx
+
+    cfg = M.toy_mnt4()
+    ctx = msm_ctx(cfg.g1, cfg.Fr.BITS, c=8, signed=True)
+    scalars = [0, 1, 255, 256, (1 << cfg.Fr.BITS) - 1,
+               rng.randrange(cfg.g1.order)]
+    D = ctx.digits_from_ints(scalars)
+    half = 1 << (ctx.c - 1)
+    for j, s in enumerate(scalars):
+        total = 0
+        for w in range(ctx.nwin):
+            v = int(D[w, j])
+            mag = v & 0x7FFFFFFF
+            assert mag <= half
+            total += (-mag if v >> 31 else mag) << (ctx.c * w)
+        assert total == s, (j, s, total)
