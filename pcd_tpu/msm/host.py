@@ -8,14 +8,48 @@ tests and key derivation at small scale.
 
 from __future__ import annotations
 
+_NATIVE_MSM_MIN = 32
+
+
+def _native_curve_ok(curve) -> bool:
+    """The C++ backend covers short-Weierstrass curves over prime or
+    direct Fp2/Fp3 extension coordinate fields below 320 bits."""
+    from ..curves.short_weierstrass import SWCurve
+
+    if not isinstance(curve, SWCurve):
+        return False
+    F = curve.F
+    prime = F.prime_subfield()
+    if prime.MODULUS.bit_length() > 320:
+        return False
+    deg = F.extension_degree_over_prime()
+    if deg == 1:
+        return True
+    if deg > 3:
+        return False
+    nr = F.NR
+    return not hasattr(nr, "to_prime_coeffs")  # direct tower only
+
+
+def _native():
+    from .. import native
+
+    return native if native.available() else None
+
 
 def msm(points, scalars):
-    """Variable-base MSM: sum scalars[i] * points[i] (host, windowed 4-bit
-    Pippenger — fine for toy sizes)."""
+    """Variable-base MSM: sum scalars[i] * points[i].  Dispatches to the
+    C++ backend (pcd_tpu/native — threaded Pippenger, ~100x the Python
+    path at production sizes) when available; the Python window method
+    below remains the oracle and the fallback."""
     assert len(points) == len(scalars)
     if not points:
         raise ValueError("empty MSM")
     curve = points[0].curve
+    if len(points) >= _NATIVE_MSM_MIN and _native_curve_ok(curve):
+        native = _native()
+        if native is not None:
+            return native.msm(points, [int(s) for s in scalars])
     acc_total = curve.infinity()
     c = 4
     nbits = max((int(s).bit_length() for s in scalars), default=1) or 1
@@ -67,3 +101,18 @@ class FixedBaseTable:
 
     def mul_many(self, scalars):
         return [self.mul(s) for s in scalars]
+
+
+def fixed_base_many(base, scalars, max_bits: int, window: int = 8):
+    """[s*G for s in scalars] — native windowed batch when available
+    (threaded + Montgomery batch-affine), else a Python table (plain
+    double-and-add when the batch is too small to amortize one)."""
+    if len(scalars) >= 16 and not base.is_infinity() \
+            and _native_curve_ok(base.curve):
+        native = _native()
+        if native is not None:
+            return native.fixed_base_batch(base, [int(s) for s in scalars],
+                                           max_bits)
+    if len(scalars) < 16:
+        return [base * int(s) for s in scalars]
+    return FixedBaseTable(base, max_bits, window).mul_many(scalars)

@@ -1,0 +1,267 @@
+"""ctypes bindings for the C++ host runtime (pcd_native.cpp).
+
+The library is compiled on first import (g++ -O3, cached next to the
+source); set PCD_NATIVE=0 to force the pure-Python host paths.  All
+marshalling is little-endian 5x64-bit limbs (canonical, not Montgomery).
+
+Dispatch points that consume this module:
+  - pcd_tpu/msm/host.py      variable-base MSM + fixed-base tables
+  - pcd_tpu/poly/domain.py   (i)FFT / coset transforms over smooth domains
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+NL = 5
+_BYTES = NL * 8
+
+_lib = None
+_field_handles: dict = {}
+_curve_handles: dict = {}
+
+
+def _build() -> str | None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "pcd_native.cpp")
+    so = os.path.join(here, "libpcdnative.so")
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return so
+    try:
+        r = subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", src,
+             "-o", so + ".tmp"],
+            capture_output=True, text=True, timeout=300)
+        if r.returncode != 0:
+            sys.stderr.write("pcd_native build failed:\n" + r.stderr[-2000:]
+                             + "\n")
+            return None
+        os.replace(so + ".tmp", so)
+        return so
+    except Exception as e:  # no toolchain — fall back to Python
+        sys.stderr.write(f"pcd_native build unavailable: {e}\n")
+        return None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if os.environ.get("PCD_NATIVE", "1") == "0":
+        return None
+    so = _build()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.pcd_field_new.restype = ctypes.c_long
+    lib.pcd_field_new.argtypes = [u64p]
+    lib.pcd_curve_new.restype = ctypes.c_long
+    lib.pcd_curve_new.argtypes = [u64p, ctypes.c_int, u64p, u64p, u64p]
+    lib.pcd_msm.restype = ctypes.c_int
+    lib.pcd_msm.argtypes = [ctypes.c_long, ctypes.c_long, u64p, u64p, u8p,
+                            u64p, u64p, u8p]
+    lib.pcd_fixed_base.restype = ctypes.c_int
+    lib.pcd_fixed_base.argtypes = [ctypes.c_long, u64p, ctypes.c_int,
+                                   ctypes.c_long, u64p, u64p, u64p, u8p]
+    lib.pcd_ntt.restype = ctypes.c_int
+    lib.pcd_ntt.argtypes = [ctypes.c_long, ctypes.c_long, u64p, u64p, u64p,
+                            u64p]
+    lib.pcd_geom_scale.restype = ctypes.c_int
+    lib.pcd_geom_scale.argtypes = [ctypes.c_long, ctypes.c_long, u64p, u64p,
+                                   u64p]
+    lib.pcd_vec_op.restype = ctypes.c_int
+    lib.pcd_vec_op.argtypes = [ctypes.c_long, ctypes.c_long, ctypes.c_int,
+                               u64p, u64p, u64p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u64p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def _u8p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def ints_to_limbs(vals) -> np.ndarray:
+    buf = b"".join(int(v).to_bytes(_BYTES, "little") for v in vals)
+    return np.frombuffer(buf, dtype="<u8").reshape(len(vals), NL).copy()
+
+
+def limbs_to_ints(arr: np.ndarray) -> list:
+    flat = np.ascontiguousarray(arr.reshape(-1, NL), dtype="<u8")
+    raw = flat.tobytes()
+    return [int.from_bytes(raw[i * _BYTES:(i + 1) * _BYTES], "little")
+            for i in range(flat.shape[0])]
+
+
+def field_handle(modulus: int) -> int:
+    lib = _load()
+    h = _field_handles.get(modulus)
+    if h is None:
+        mod = ints_to_limbs([modulus])
+        h = lib.pcd_field_new(_u64p(mod))
+        _field_handles[modulus] = h
+    return h
+
+
+def _coeffs(elem, deg):
+    if deg == 1:
+        return [int(elem.n)]
+    return [int(c.n) for c in elem.to_prime_coeffs()]
+
+
+def curve_handle(curve) -> tuple:
+    """Returns (handle, deg, prime_modulus)."""
+    key = id(curve)
+    hit = _curve_handles.get(key)
+    if hit is not None:
+        return hit
+    lib = _load()
+    F = curve.F
+    prime = F.prime_subfield()
+    deg = F.extension_degree_over_prime()
+    if deg > 3 or prime.MODULUS.bit_length() > 320:
+        raise ValueError("curve outside native support")
+    nr = 0
+    if deg > 1:
+        # binomial tower: F = prime[v]/(v^deg - NR) with NR in the prime
+        # field (fields/tower.py); native support covers exactly the G2
+        # coordinate fields Fp2/Fp3 built directly over the prime field
+        nr_el = F.NR
+        if hasattr(nr_el, "to_prime_coeffs"):
+            raise ValueError("nested towers unsupported natively")
+        nr = int(nr_el.n)
+    mod = ints_to_limbs([prime.MODULUS])
+    nr_l = ints_to_limbs([nr])
+    a_l = ints_to_limbs(_coeffs(curve.a, deg))
+    b_l = ints_to_limbs(_coeffs(curve.b, deg))
+    h = lib.pcd_curve_new(_u64p(mod), deg, _u64p(nr_l), _u64p(a_l),
+                          _u64p(b_l))
+    out = (h, deg, prime.MODULUS)
+    _curve_handles[key] = out
+    return out
+
+
+def _points_to_arrays(points, deg):
+    n = len(points)
+    xs = np.zeros((n, deg * NL), dtype="<u8")
+    ys = np.zeros((n, deg * NL), dtype="<u8")
+    inf = np.zeros(n, dtype=np.uint8)
+    for i, pt in enumerate(points):
+        if pt.is_infinity():
+            inf[i] = 1
+            continue
+        cx = _coeffs(pt.x, deg)
+        cy = _coeffs(pt.y, deg)
+        for d in range(deg):
+            xs[i, d * NL:(d + 1) * NL] = np.frombuffer(
+                int(cx[d]).to_bytes(_BYTES, "little"), "<u8")
+            ys[i, d * NL:(d + 1) * NL] = np.frombuffer(
+                int(cy[d]).to_bytes(_BYTES, "little"), "<u8")
+    return xs, ys, inf
+
+
+def _point_from_limbs(curve, deg, xy: np.ndarray):
+    F = curve.F
+    prime = F.prime_subfield()
+    raw = xy.tobytes()
+
+    def elem(off):
+        cs = [prime.from_int(int.from_bytes(
+            raw[(off + d) * _BYTES:(off + d + 1) * _BYTES], "little"))
+            for d in range(deg)]
+        return F.from_prime_coeffs(cs) if deg > 1 else cs[0]
+
+    return curve.point(elem(0), elem(deg), check=False)
+
+
+def msm(points, scalars):
+    """Native variable-base MSM over host points; returns a host point."""
+    curve = points[0].curve
+    h, deg, _ = curve_handle(curve)
+    lib = _load()
+    xs, ys, inf = _points_to_arrays(points, deg)
+    sc = ints_to_limbs([int(s) for s in scalars])
+    out_xy = np.zeros(2 * deg * NL, dtype="<u8")
+    out_inf = np.zeros(1, dtype=np.uint8)
+    rc = lib.pcd_msm(h, len(points), _u64p(xs), _u64p(ys), _u8p(inf),
+                     _u64p(sc), _u64p(out_xy), _u8p(out_inf))
+    if rc != 0:
+        raise RuntimeError("pcd_msm failed")
+    if out_inf[0]:
+        return curve.infinity()
+    return _point_from_limbs(curve, deg, out_xy)
+
+
+def fixed_base_batch(base, scalars, max_bits: int):
+    """[s*G for s in scalars] via the native windowed table."""
+    curve = base.curve
+    h, deg, _ = curve_handle(curve)
+    lib = _load()
+    bxy = np.zeros(2 * deg * NL, dtype="<u8")
+    cx = _coeffs(base.x, deg)
+    cy = _coeffs(base.y, deg)
+    for d in range(deg):
+        bxy[d * NL:(d + 1) * NL] = np.frombuffer(
+            int(cx[d]).to_bytes(_BYTES, "little"), "<u8")
+        bxy[(deg + d) * NL:(deg + d + 1) * NL] = np.frombuffer(
+            int(cy[d]).to_bytes(_BYTES, "little"), "<u8")
+    n = len(scalars)
+    sc = ints_to_limbs([int(s) for s in scalars])
+    oxs = np.zeros((n, deg * NL), dtype="<u8")
+    oys = np.zeros((n, deg * NL), dtype="<u8")
+    oinf = np.zeros(n, dtype=np.uint8)
+    rc = lib.pcd_fixed_base(h, _u64p(bxy), max_bits, n, _u64p(sc),
+                            _u64p(oxs), _u64p(oys), _u8p(oinf))
+    if rc != 0:
+        raise RuntimeError("pcd_fixed_base failed")
+    out = []
+    for i in range(n):
+        if oinf[i]:
+            out.append(curve.infinity())
+        else:
+            xy = np.concatenate([oxs[i], oys[i]])
+            out.append(_point_from_limbs(curve, deg, xy))
+    return out
+
+
+def ntt(modulus: int, omega: int, values, scale: int | None = None) -> list:
+    """out[k] = sum_j values[j] omega^{jk} (* scale), canonical ints."""
+    lib = _load()
+    h = field_handle(modulus)
+    n = len(values)
+    x = ints_to_limbs([int(v) % modulus for v in values])
+    out = np.zeros((n, NL), dtype="<u8")
+    sc = None if scale is None else ints_to_limbs([scale % modulus])
+    rc = lib.pcd_ntt(h, n, _u64p(ints_to_limbs([omega % modulus])), _u64p(x),
+                     _u64p(out), _u64p(sc) if sc is not None else None)
+    if rc != 0:
+        raise RuntimeError("pcd_ntt failed")
+    return limbs_to_ints(out)
+
+
+def geom_scale(modulus: int, g: int, values) -> list:
+    """[values[i] * g^i mod p]."""
+    lib = _load()
+    h = field_handle(modulus)
+    n = len(values)
+    x = ints_to_limbs([int(v) % modulus for v in values])
+    out = np.zeros((n, NL), dtype="<u8")
+    rc = lib.pcd_geom_scale(h, n, _u64p(ints_to_limbs([g % modulus])),
+                            _u64p(x), _u64p(out))
+    if rc != 0:
+        raise RuntimeError("pcd_geom_scale failed")
+    return limbs_to_ints(out)

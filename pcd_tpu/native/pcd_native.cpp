@@ -1,0 +1,889 @@
+// pcd_native — C++ host runtime for the pcd_tpu framework.
+//
+// Role: the native tier the reference gets from Rust/arkworks release
+// builds (SURVEY.md L1 — ark-ff/ark-ec/ark-poly are compiled Rust; this
+// framework's host fallback was pure Python).  TPU remains the production
+// compute path (jax/XLA/pallas); this library makes the HOST control
+// plane and CPU fallback fast: key generation, toy-cycle CI chains, the
+// Pippenger/NTT oracles, and full CPU proving when no accelerator is up.
+//
+// Scope:
+//   - 320-bit Montgomery field arithmetic (5x64 limbs, CIOS) for any
+//     modulus < 2^320 (covers MNT4/6-298 Fq/Fr and the toy cycle)
+//   - binomial extension fields of degree 2/3 (G2 coordinate fields)
+//   - short-Weierstrass Jacobian EC ops (general a), batch-affine output
+//   - Pippenger MSM (bucket windows over the actual scalar bit length)
+//   - fixed-base windowed batch scalar-mul (key generation)
+//   - mixed-radix NTT over smooth-order domains + geometric scaling
+//
+// ABI: plain C, arrays of uint64 limbs (little-endian, canonical — NOT
+// Montgomery), driven from Python via ctypes (pcd_tpu/native/__init__.py).
+// Build: g++ -O3 -shared -fPIC pcd_native.cpp -o libpcdnative.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <mutex>
+#include <thread>
+#include <algorithm>
+
+static int hw_threads() {
+    unsigned n = std::thread::hardware_concurrency();
+    return n ? (int)n : 1;
+}
+
+typedef uint64_t u64;
+typedef unsigned __int128 u128;
+
+static const int NL = 5; // limbs per base-field element (320 bits)
+
+// ---------------------------------------------------------------- field
+struct Fp {
+    u64 v[NL];
+};
+
+static inline bool fp_is_zero(const Fp &a) {
+    u64 r = 0;
+    for (int i = 0; i < NL; i++) r |= a.v[i];
+    return r == 0;
+}
+
+static inline int fp_cmp(const Fp &a, const Fp &b) {
+    for (int i = NL - 1; i >= 0; i--) {
+        if (a.v[i] != b.v[i]) return a.v[i] < b.v[i] ? -1 : 1;
+    }
+    return 0;
+}
+
+struct FieldCtx {
+    Fp mod;        // modulus p
+    Fp r2;         // R^2 mod p (R = 2^320)
+    Fp one_mont;   // R mod p
+    u64 n0inv;     // -p^{-1} mod 2^64
+    int bits;      // p.bit_length()
+};
+
+static inline void fp_sub_raw(const Fp &a, const Fp &b, Fp &out) {
+    u128 borrow = 0;
+    for (int i = 0; i < NL; i++) {
+        u128 d = (u128)a.v[i] - b.v[i] - (u64)borrow;
+        out.v[i] = (u64)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+}
+
+static inline bool fp_add_raw(const Fp &a, const Fp &b, Fp &out) {
+    u128 carry = 0;
+    for (int i = 0; i < NL; i++) {
+        u128 s = (u128)a.v[i] + b.v[i] + (u64)carry;
+        out.v[i] = (u64)s;
+        carry = s >> 64;
+    }
+    return carry != 0;
+}
+
+static inline void fp_add(const FieldCtx &C, const Fp &a, const Fp &b, Fp &out) {
+    bool carry = fp_add_raw(a, b, out);
+    if (carry || fp_cmp(out, C.mod) >= 0) {
+        Fp t;
+        fp_sub_raw(out, C.mod, t);
+        out = t;
+    }
+}
+
+static inline void fp_sub(const FieldCtx &C, const Fp &a, const Fp &b, Fp &out) {
+    if (fp_cmp(a, b) >= 0) {
+        fp_sub_raw(a, b, out);
+    } else {
+        Fp t;
+        fp_sub_raw(b, a, t);
+        fp_sub_raw(C.mod, t, out);
+    }
+}
+
+static inline void fp_neg(const FieldCtx &C, const Fp &a, Fp &out) {
+    if (fp_is_zero(a)) { out = a; return; }
+    fp_sub_raw(C.mod, a, out);
+}
+
+// CIOS Montgomery multiplication: out = a*b*R^{-1} mod p
+static void fp_mont_mul(const FieldCtx &C, const Fp &a, const Fp &b, Fp &out) {
+    u64 t[NL + 2] = {0};
+    for (int i = 0; i < NL; i++) {
+        // t += a[i] * b
+        u128 carry = 0;
+        for (int j = 0; j < NL; j++) {
+            u128 s = (u128)t[j] + (u128)a.v[i] * b.v[j] + (u64)carry;
+            t[j] = (u64)s;
+            carry = s >> 64;
+        }
+        u128 s = (u128)t[NL] + (u64)carry;
+        t[NL] = (u64)s;
+        t[NL + 1] = (u64)(s >> 64);
+        // m = t[0] * n0inv mod 2^64; t += m*p; t >>= 64
+        u64 m = t[0] * C.n0inv;
+        carry = ((u128)t[0] + (u128)m * C.mod.v[0]) >> 64;
+        for (int j = 1; j < NL; j++) {
+            u128 s2 = (u128)t[j] + (u128)m * C.mod.v[j] + (u64)carry;
+            t[j - 1] = (u64)s2;
+            carry = s2 >> 64;
+        }
+        s = (u128)t[NL] + (u64)carry;
+        t[NL - 1] = (u64)s;
+        t[NL] = t[NL + 1] + (u64)(s >> 64);
+        t[NL + 1] = 0;
+    }
+    Fp r;
+    for (int i = 0; i < NL; i++) r.v[i] = t[i];
+    if (t[NL] || fp_cmp(r, C.mod) >= 0) {
+        Fp q;
+        fp_sub_raw(r, C.mod, q);
+        out = q;
+    } else {
+        out = r;
+    }
+}
+
+static inline void fp_to_mont(const FieldCtx &C, const Fp &a, Fp &out) {
+    fp_mont_mul(C, a, C.r2, out);
+}
+
+static inline void fp_from_mont(const FieldCtx &C, const Fp &a, Fp &out) {
+    Fp one = {{1, 0, 0, 0, 0}};
+    fp_mont_mul(C, a, one, out);
+}
+
+// a^e mod p (Montgomery in/out), e given as limbs
+static void fp_pow(const FieldCtx &C, const Fp &a, const Fp &e, Fp &out) {
+    Fp acc = C.one_mont;
+    Fp base = a;
+    for (int i = 0; i < NL; i++) {
+        u64 w = e.v[i];
+        for (int b = 0; b < 64; b++) {
+            if (w & 1) fp_mont_mul(C, acc, base, acc);
+            fp_mont_mul(C, base, base, base);
+            w >>= 1;
+        }
+    }
+    out = acc;
+}
+
+static void fp_inv(const FieldCtx &C, const Fp &a, Fp &out) {
+    // Fermat: a^{p-2}
+    Fp e;
+    Fp two = {{2, 0, 0, 0, 0}};
+    fp_sub_raw(C.mod, two, e);
+    fp_pow(C, a, e, out);
+}
+
+// ------------------------------------------------------------- ext field
+// element = deg coefficients, x^deg = nr (nr in base field, Montgomery)
+struct ExtCtx {
+    FieldCtx base;
+    int deg;       // 1, 2 or 3
+    Fp nr;         // Montgomery
+};
+
+struct Ext {
+    Fp c[3];
+};
+
+static inline void ext_zero(Ext &o) { std::memset(&o, 0, sizeof(Ext)); }
+
+static inline bool ext_is_zero(const ExtCtx &E, const Ext &a) {
+    for (int i = 0; i < E.deg; i++)
+        if (!fp_is_zero(a.c[i])) return false;
+    return true;
+}
+
+static inline void ext_add(const ExtCtx &E, const Ext &a, const Ext &b, Ext &o) {
+    for (int i = 0; i < E.deg; i++) fp_add(E.base, a.c[i], b.c[i], o.c[i]);
+    for (int i = E.deg; i < 3; i++) std::memset(o.c[i].v, 0, sizeof(Fp));
+}
+
+static inline void ext_sub(const ExtCtx &E, const Ext &a, const Ext &b, Ext &o) {
+    for (int i = 0; i < E.deg; i++) fp_sub(E.base, a.c[i], b.c[i], o.c[i]);
+    for (int i = E.deg; i < 3; i++) std::memset(o.c[i].v, 0, sizeof(Fp));
+}
+
+static inline void ext_neg(const ExtCtx &E, const Ext &a, Ext &o) {
+    for (int i = 0; i < E.deg; i++) fp_neg(E.base, a.c[i], o.c[i]);
+    for (int i = E.deg; i < 3; i++) std::memset(o.c[i].v, 0, sizeof(Fp));
+}
+
+static void ext_mul(const ExtCtx &E, const Ext &a, const Ext &b, Ext &o) {
+    const FieldCtx &C = E.base;
+    if (E.deg == 1) {
+        fp_mont_mul(C, a.c[0], b.c[0], o.c[0]);
+        std::memset(o.c[1].v, 0, sizeof(Fp));
+        std::memset(o.c[2].v, 0, sizeof(Fp));
+        return;
+    }
+    Fp prod[5];
+    int np = 2 * E.deg - 1;
+    for (int k = 0; k < np; k++) std::memset(prod[k].v, 0, sizeof(Fp));
+    Fp t;
+    for (int i = 0; i < E.deg; i++) {
+        for (int j = 0; j < E.deg; j++) {
+            fp_mont_mul(C, a.c[i], b.c[j], t);
+            fp_add(C, prod[i + j], t, prod[i + j]);
+        }
+    }
+    // fold x^{deg+t} = nr * x^t
+    for (int k = np - 1; k >= E.deg; k--) {
+        fp_mont_mul(C, prod[k], E.nr, t);
+        fp_add(C, prod[k - E.deg], t, prod[k - E.deg]);
+    }
+    for (int i = 0; i < E.deg; i++) o.c[i] = prod[i];
+    for (int i = E.deg; i < 3; i++) std::memset(o.c[i].v, 0, sizeof(Fp));
+}
+
+static inline void ext_sqr(const ExtCtx &E, const Ext &a, Ext &o) {
+    ext_mul(E, a, a, o);
+}
+
+static void ext_inv(const ExtCtx &E, const Ext &a, Ext &o) {
+    const FieldCtx &C = E.base;
+    if (E.deg == 1) {
+        fp_inv(C, a.c[0], o.c[0]);
+        std::memset(o.c[1].v, 0, sizeof(Fp));
+        std::memset(o.c[2].v, 0, sizeof(Fp));
+        return;
+    }
+    if (E.deg == 2) {
+        // (a0 - a1 u) / (a0^2 - nr a1^2)
+        Fp d, t0, t1;
+        fp_mont_mul(C, a.c[0], a.c[0], t0);
+        fp_mont_mul(C, a.c[1], a.c[1], t1);
+        fp_mont_mul(C, t1, E.nr, t1);
+        fp_sub(C, t0, t1, d);
+        fp_inv(C, d, d);
+        fp_mont_mul(C, a.c[0], d, o.c[0]);
+        Fp na1;
+        fp_neg(C, a.c[1], na1);
+        fp_mont_mul(C, na1, d, o.c[1]);
+        std::memset(o.c[2].v, 0, sizeof(Fp));
+        return;
+    }
+    // deg 3, u^3 = nr:
+    //   v0 = a0^2 - nr a1 a2; v1 = nr a2^2 - a0 a1; v2 = a1^2 - a0 a2
+    //   D  = a0 v0 + nr a1 v2 + nr a2 v1;   inv = (v0, v1, v2) / D
+    Fp v0, v1, v2, t, u, D;
+    fp_mont_mul(C, a.c[0], a.c[0], v0);
+    fp_mont_mul(C, a.c[1], a.c[2], t);
+    fp_mont_mul(C, t, E.nr, t);
+    fp_sub(C, v0, t, v0);
+    fp_mont_mul(C, a.c[2], a.c[2], v1);
+    fp_mont_mul(C, v1, E.nr, v1);
+    fp_mont_mul(C, a.c[0], a.c[1], t);
+    fp_sub(C, v1, t, v1);
+    fp_mont_mul(C, a.c[1], a.c[1], v2);
+    fp_mont_mul(C, a.c[0], a.c[2], t);
+    fp_sub(C, v2, t, v2);
+    fp_mont_mul(C, a.c[0], v0, D);
+    fp_mont_mul(C, a.c[1], v2, t);
+    fp_mont_mul(C, t, E.nr, t);
+    fp_add(C, D, t, D);
+    fp_mont_mul(C, a.c[2], v1, u);
+    fp_mont_mul(C, u, E.nr, u);
+    fp_add(C, D, u, D);
+    fp_inv(C, D, D);
+    fp_mont_mul(C, v0, D, o.c[0]);
+    fp_mont_mul(C, v1, D, o.c[1]);
+    fp_mont_mul(C, v2, D, o.c[2]);
+}
+
+// ------------------------------------------------------------------ curve
+struct CurveCtx {
+    ExtCtx E;
+    Ext a;         // Montgomery
+    Ext b;
+    bool a_is_zero;
+};
+
+// Jacobian point: (X, Y, Z), affine = (X/Z^2, Y/Z^3); Z == 0 => infinity
+struct Jac {
+    Ext X, Y, Z;
+};
+
+static inline bool jac_is_inf(const CurveCtx &K, const Jac &P) {
+    return ext_is_zero(K.E, P.Z);
+}
+
+static inline void jac_set_inf(Jac &P) {
+    ext_zero(P.X);
+    ext_zero(P.Y);
+    ext_zero(P.Z);
+}
+
+// general-a Jacobian doubling
+static void jac_double(const CurveCtx &K, const Jac &P, Jac &O) {
+    const ExtCtx &E = K.E;
+    if (jac_is_inf(K, P) || ext_is_zero(E, P.Y)) { jac_set_inf(O); return; }
+    Ext XX, YY, YYYY, ZZ, S, M, T, t, u;
+    ext_sqr(E, P.X, XX);
+    ext_sqr(E, P.Y, YY);
+    ext_sqr(E, YY, YYYY);
+    ext_sqr(E, P.Z, ZZ);
+    // S = 2*((X+YY)^2 - XX - YYYY)
+    ext_add(E, P.X, YY, t);
+    ext_sqr(E, t, t);
+    ext_sub(E, t, XX, t);
+    ext_sub(E, t, YYYY, t);
+    ext_add(E, t, t, S);
+    // M = 3*XX + a*ZZ^2
+    ext_add(E, XX, XX, M);
+    ext_add(E, M, XX, M);
+    if (!K.a_is_zero) {
+        ext_sqr(E, ZZ, u);
+        ext_mul(E, u, K.a, u);
+        ext_add(E, M, u, M);
+    }
+    // X3 = M^2 - 2S
+    ext_sqr(E, M, T);
+    ext_sub(E, T, S, T);
+    ext_sub(E, T, S, T);
+    // Z3 = (Y+Z)^2 - YY - ZZ   (compute BEFORE overwriting Y)
+    Ext Z3;
+    ext_add(E, P.Y, P.Z, Z3);
+    ext_sqr(E, Z3, Z3);
+    ext_sub(E, Z3, YY, Z3);
+    ext_sub(E, Z3, ZZ, Z3);
+    // Y3 = M*(S - T) - 8*YYYY
+    ext_sub(E, S, T, t);
+    ext_mul(E, M, t, t);
+    ext_add(E, YYYY, YYYY, u);
+    ext_add(E, u, u, u);
+    ext_add(E, u, u, u);
+    ext_sub(E, t, u, O.Y);
+    O.X = T;
+    O.Z = Z3;
+}
+
+// full Jacobian addition (handles doubling/infinity via branches)
+static void jac_add(const CurveCtx &K, const Jac &P, const Jac &Q, Jac &O) {
+    const ExtCtx &E = K.E;
+    if (jac_is_inf(K, P)) { O = Q; return; }
+    if (jac_is_inf(K, Q)) { O = P; return; }
+    Ext Z1Z1, Z2Z2, U1, U2, S1, S2, t;
+    ext_sqr(E, P.Z, Z1Z1);
+    ext_sqr(E, Q.Z, Z2Z2);
+    ext_mul(E, P.X, Z2Z2, U1);
+    ext_mul(E, Q.X, Z1Z1, U2);
+    ext_mul(E, Q.Z, Z2Z2, t);
+    ext_mul(E, P.Y, t, S1);
+    ext_mul(E, P.Z, Z1Z1, t);
+    ext_mul(E, Q.Y, t, S2);
+    Ext H, R;
+    ext_sub(E, U2, U1, H);
+    ext_sub(E, S2, S1, R);
+    if (ext_is_zero(E, H)) {
+        if (ext_is_zero(E, R)) { jac_double(K, P, O); return; }
+        jac_set_inf(O);
+        return;
+    }
+    Ext HH, HHH, V;
+    ext_sqr(E, H, HH);
+    ext_mul(E, H, HH, HHH);
+    ext_mul(E, U1, HH, V);
+    // X3 = R^2 - HHH - 2V
+    Ext X3, Y3, Z3;
+    ext_sqr(E, R, X3);
+    ext_sub(E, X3, HHH, X3);
+    ext_sub(E, X3, V, X3);
+    ext_sub(E, X3, V, X3);
+    // Y3 = R*(V - X3) - S1*HHH
+    ext_sub(E, V, X3, t);
+    ext_mul(E, R, t, Y3);
+    ext_mul(E, S1, HHH, t);
+    ext_sub(E, Y3, t, Y3);
+    // Z3 = Z1*Z2*H
+    ext_mul(E, P.Z, Q.Z, Z3);
+    ext_mul(E, Z3, H, Z3);
+    O.X = X3;
+    O.Y = Y3;
+    O.Z = Z3;
+}
+
+// mixed addition: Q affine (Z = 1)
+static void jac_add_affine(const CurveCtx &K, const Jac &P,
+                           const Ext &qx, const Ext &qy, Jac &O) {
+    const ExtCtx &E = K.E;
+    if (jac_is_inf(K, P)) {
+        O.X = qx;
+        O.Y = qy;
+        // Z = 1 (Montgomery one in coefficient 0)
+        ext_zero(O.Z);
+        O.Z.c[0] = E.base.one_mont;
+        return;
+    }
+    Ext Z1Z1, U2, S2, t;
+    ext_sqr(E, P.Z, Z1Z1);
+    ext_mul(E, qx, Z1Z1, U2);
+    ext_mul(E, P.Z, Z1Z1, t);
+    ext_mul(E, qy, t, S2);
+    Ext H, R;
+    ext_sub(E, U2, P.X, H);
+    ext_sub(E, S2, P.Y, R);
+    if (ext_is_zero(E, H)) {
+        if (ext_is_zero(E, R)) { jac_double(K, P, O); return; }
+        jac_set_inf(O);
+        return;
+    }
+    Ext HH, HHH, V;
+    ext_sqr(E, H, HH);
+    ext_mul(E, H, HH, HHH);
+    ext_mul(E, P.X, HH, V);
+    Ext X3, Y3, Z3;
+    ext_sqr(E, R, X3);
+    ext_sub(E, X3, HHH, X3);
+    ext_sub(E, X3, V, X3);
+    ext_sub(E, X3, V, X3);
+    ext_sub(E, V, X3, t);
+    ext_mul(E, R, t, Y3);
+    ext_mul(E, P.Y, HHH, t);
+    ext_sub(E, Y3, t, Y3);
+    ext_mul(E, P.Z, H, Z3);
+    O.X = X3;
+    O.Y = Y3;
+    O.Z = Z3;
+}
+
+static void jac_neg(const CurveCtx &K, Jac &P) {
+    ext_neg(K.E, P.Y, P.Y);
+}
+
+// Jacobian -> affine (single point)
+static bool jac_to_affine(const CurveCtx &K, const Jac &P, Ext &ax, Ext &ay) {
+    const ExtCtx &E = K.E;
+    if (jac_is_inf(K, P)) return false; // infinity
+    Ext zi, zi2, zi3;
+    ext_inv(E, P.Z, zi);
+    ext_sqr(E, zi, zi2);
+    ext_mul(E, zi, zi2, zi3);
+    ext_mul(E, P.X, zi2, ax);
+    ext_mul(E, P.Y, zi3, ay);
+    return true;
+}
+
+// ----------------------------------------------------------------- state
+static std::vector<FieldCtx *> g_fields;
+static std::vector<CurveCtx *> g_curves;
+static std::mutex g_lock;
+
+static void field_init(FieldCtx &C, const u64 *mod) {
+    std::memcpy(C.mod.v, mod, NL * 8);
+    // n0inv = -p^{-1} mod 2^64 (Newton)
+    u64 p0 = C.mod.v[0];
+    u64 inv = 1;
+    for (int i = 0; i < 6; i++) inv *= 2 - p0 * inv;
+    C.n0inv = (u64)(0 - inv);
+    // R mod p by long division of 2^320: repeated doubling of (2^319 mod p)
+    // simpler: start with 1 and double 320 times mod p
+    Fp r = {{1, 0, 0, 0, 0}};
+    for (int i = 0; i < 320; i++) {
+        Fp s;
+        bool carry = fp_add_raw(r, r, s);
+        if (carry || fp_cmp(s, C.mod) >= 0) fp_sub_raw(s, C.mod, s);
+        r = s;
+    }
+    C.one_mont = r;
+    // R^2 mod p: double one_mont 320 more times
+    Fp r2 = r;
+    for (int i = 0; i < 320; i++) {
+        Fp s;
+        bool carry = fp_add_raw(r2, r2, s);
+        if (carry || fp_cmp(s, C.mod) >= 0) fp_sub_raw(s, C.mod, s);
+        r2 = s;
+    }
+    C.r2 = r2;
+    int bits = 0;
+    for (int i = NL - 1; i >= 0 && !bits; i--) {
+        if (C.mod.v[i]) {
+            bits = i * 64 + 64 - __builtin_clzll(C.mod.v[i]);
+        }
+    }
+    C.bits = bits;
+}
+
+extern "C" long pcd_field_new(const u64 *mod) {
+    std::lock_guard<std::mutex> g(g_lock);
+    FieldCtx *C = new FieldCtx();
+    field_init(*C, mod);
+    g_fields.push_back(C);
+    return (long)g_fields.size() - 1;
+}
+
+// deg in {1,2,3}; nr: base elem (canonical); a,b: deg coeffs each (canonical)
+extern "C" long pcd_curve_new(const u64 *mod, int deg, const u64 *nr,
+                              const u64 *a, const u64 *b) {
+    std::lock_guard<std::mutex> g(g_lock);
+    CurveCtx *K = new CurveCtx();
+    field_init(K->E.base, mod);
+    K->E.deg = deg;
+    Fp nr_c;
+    std::memcpy(nr_c.v, nr, NL * 8);
+    fp_to_mont(K->E.base, nr_c, K->E.nr);
+    ext_zero(K->a);
+    ext_zero(K->b);
+    for (int i = 0; i < deg; i++) {
+        Fp t;
+        std::memcpy(t.v, a + i * NL, NL * 8);
+        fp_to_mont(K->E.base, t, K->a.c[i]);
+        std::memcpy(t.v, b + i * NL, NL * 8);
+        fp_to_mont(K->E.base, t, K->b.c[i]);
+    }
+    K->a_is_zero = ext_is_zero(K->E, K->a);
+    g_curves.push_back(K);
+    return (long)g_curves.size() - 1;
+}
+
+// --- helpers: canonical <-> Montgomery ext load/store -------------------
+static void ext_load(const ExtCtx &E, const u64 *src, Ext &o) {
+    ext_zero(o);
+    for (int i = 0; i < E.deg; i++) {
+        Fp t;
+        std::memcpy(t.v, src + i * NL, NL * 8);
+        fp_to_mont(E.base, t, o.c[i]);
+    }
+}
+
+static void ext_store(const ExtCtx &E, const Ext &a, u64 *dst) {
+    for (int i = 0; i < E.deg; i++) {
+        Fp t;
+        fp_from_mont(E.base, a.c[i], t);
+        std::memcpy(dst + i * NL, t.v, NL * 8);
+    }
+}
+
+static inline int scalar_bits_of(const u64 *s, int nl) {
+    for (int i = nl - 1; i >= 0; i--) {
+        if (s[i]) return i * 64 + 64 - __builtin_clzll(s[i]);
+    }
+    return 0;
+}
+
+// ------------------------------------------------------------------- MSM
+// points: affine coords canonical, xs/ys each npts*deg*NL u64; inf: npts u8
+// scalars: npts*NL; out: 2*deg*NL u64 (affine x,y) + out_inf flag
+extern "C" int pcd_msm(long curve_h, long npts, const u64 *xs, const u64 *ys,
+                       const unsigned char *inf, const u64 *scalars,
+                       u64 *out_xy, unsigned char *out_inf) {
+    if (curve_h < 0 || curve_h >= (long)g_curves.size()) return -1;
+    const CurveCtx &K = *g_curves[curve_h];
+    const ExtCtx &E = K.E;
+    const int ds = E.deg * NL;
+
+    // convert points to Montgomery once
+    std::vector<Ext> PX(npts), PY(npts);
+    for (long i = 0; i < npts; i++) {
+        ext_load(E, xs + i * ds, PX[i]);
+        ext_load(E, ys + i * ds, PY[i]);
+    }
+    int maxbits = 1;
+    for (long i = 0; i < npts; i++) {
+        int b = scalar_bits_of(scalars + i * NL, NL);
+        if (b > maxbits) maxbits = b;
+    }
+    // window size by problem size
+    int c = 3;
+    while ((1L << (c + 2)) < npts && c < 16) c++;
+    int nwin = (maxbits + c - 1) / c;
+    const long nbuckets = 1L << c;
+
+    // window sums in parallel (windows are independent); Horner tail after
+    std::vector<Jac> wsums(nwin);
+    const int nthreads = std::min(hw_threads(), nwin);
+    auto worker = [&](int tid) {
+        std::vector<Jac> buckets(nbuckets);
+        for (int w = tid; w < nwin; w += nthreads) {
+            for (long b2 = 0; b2 < nbuckets; b2++) jac_set_inf(buckets[b2]);
+            const int shift = w * c;
+            for (long i = 0; i < npts; i++) {
+                if (inf && inf[i]) continue;
+                const u64 *s = scalars + i * NL;
+                int limb = shift / 64, off = shift % 64;
+                u64 d = s[limb] >> off;
+                if (off && limb + 1 < NL) d |= s[limb + 1] << (64 - off);
+                d &= (u64)(nbuckets - 1);
+                if (!d) continue;
+                jac_add_affine(K, buckets[d], PX[i], PY[i], buckets[d]);
+            }
+            // suffix-sum bucket reduction
+            Jac running, wsum;
+            jac_set_inf(running);
+            jac_set_inf(wsum);
+            for (long b2 = nbuckets - 1; b2 >= 1; b2--) {
+                jac_add(K, running, buckets[b2], running);
+                jac_add(K, wsum, running, wsum);
+            }
+            wsums[w] = wsum;
+        }
+    };
+    if (nthreads > 1) {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nthreads; t++) ts.emplace_back(worker, t);
+        for (auto &t : ts) t.join();
+    } else {
+        worker(0);
+    }
+    Jac total;
+    jac_set_inf(total);
+    for (int w = nwin - 1; w >= 0; w--) {
+        if (w != nwin - 1) {
+            for (int k = 0; k < c; k++) jac_double(K, total, total);
+        }
+        jac_add(K, total, wsums[w], total);
+    }
+    Ext ax, ay;
+    if (!jac_to_affine(K, total, ax, ay)) {
+        *out_inf = 1;
+        std::memset(out_xy, 0, 2 * ds * 8);
+        return 0;
+    }
+    *out_inf = 0;
+    ext_store(E, ax, out_xy);
+    ext_store(E, ay, out_xy + ds);
+    return 0;
+}
+
+// --------------------------------------------------- fixed-base batch mul
+// base affine (canonical); scalars nsc*NL; outputs affine + inf flags.
+// max_bits bounds the table size.
+extern "C" int pcd_fixed_base(long curve_h, const u64 *base_xy, int max_bits,
+                              long nsc, const u64 *scalars, u64 *out_xs,
+                              u64 *out_ys, unsigned char *out_inf) {
+    if (curve_h < 0 || curve_h >= (long)g_curves.size()) return -1;
+    const CurveCtx &K = *g_curves[curve_h];
+    const ExtCtx &E = K.E;
+    const int ds = E.deg * NL;
+    const int W = 8;
+    const int nwin = (max_bits + W - 1) / W;
+
+    Ext bx, by;
+    ext_load(E, base_xy, bx);
+    ext_load(E, base_xy + ds, by);
+    // tables[w][d] = d * 2^{8w} * G, Jacobian
+    std::vector<std::vector<Jac>> tables(nwin);
+    Jac cur;
+    cur.X = bx;
+    cur.Y = by;
+    ext_zero(cur.Z);
+    cur.Z.c[0] = E.base.one_mont;
+    for (int w = 0; w < nwin; w++) {
+        tables[w].resize(1 << W);
+        jac_set_inf(tables[w][0]);
+        for (int d = 1; d < (1 << W); d++) {
+            jac_add(K, tables[w][d - 1], cur, tables[w][d]);
+        }
+        for (int k = 0; k < W; k++) jac_double(K, cur, cur);
+    }
+    // per-scalar accumulate (threaded) + batch affine conversion
+    std::vector<Jac> res(nsc);
+    const int nthreads = std::min((long)hw_threads(), std::max(1L, nsc / 64));
+    auto worker = [&](int tid) {
+        for (long i = tid; i < nsc; i += nthreads) {
+            Jac acc;
+            jac_set_inf(acc);
+            const u64 *s = scalars + i * NL;
+            for (int w = 0; w < nwin; w++) {
+                int shift = w * W;
+                int limb = shift / 64, off = shift % 64;
+                u64 d = s[limb] >> off;
+                if (off && limb + 1 < NL) d |= s[limb + 1] << (64 - off);
+                d &= (1 << W) - 1;
+                if (d) jac_add(K, acc, tables[w][d], acc);
+            }
+            res[i] = acc;
+        }
+    };
+    if (nthreads > 1) {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nthreads; t++) ts.emplace_back(worker, t);
+        for (auto &t : ts) t.join();
+    } else {
+        worker(0);
+    }
+    // batch inversion of Z (Montgomery's trick) over the ext field
+    std::vector<Ext> pref(nsc);
+    Ext run;
+    ext_zero(run);
+    run.c[0] = E.base.one_mont;
+    for (long i = 0; i < nsc; i++) {
+        pref[i] = run;
+        if (!jac_is_inf(K, res[i])) ext_mul(E, run, res[i].Z, run);
+    }
+    Ext runinv;
+    ext_inv(E, run, runinv);
+    for (long i = nsc - 1; i >= 0; i--) {
+        if (jac_is_inf(K, res[i])) {
+            out_inf[i] = 1;
+            std::memset(out_xs + i * ds, 0, ds * 8);
+            std::memset(out_ys + i * ds, 0, ds * 8);
+            continue;
+        }
+        Ext zi;
+        ext_mul(E, runinv, pref[i], zi);       // Z_i^{-1}
+        ext_mul(E, runinv, res[i].Z, runinv);  // drop Z_i from the tail
+        Ext zi2, zi3, ax, ay;
+        ext_sqr(E, zi, zi2);
+        ext_mul(E, zi, zi2, zi3);
+        ext_mul(E, res[i].X, zi2, ax);
+        ext_mul(E, res[i].Y, zi3, ay);
+        out_inf[i] = 0;
+        ext_store(E, ax, out_xs + i * ds);
+        ext_store(E, ay, out_ys + i * ds);
+    }
+    return 0;
+}
+
+// ------------------------------------------------------------------- NTT
+// Mixed-radix DFT: out[k] = sum_j x[j] * omega^{jk}, n smooth.
+// x, out: n*NL canonical; omega canonical; scale (or NULL) applied to all
+// outputs (pass n^{-1} with omega^{-1} for the inverse transform).
+struct NTTPlan {
+    const FieldCtx *C;
+    std::vector<Fp> wtab; // omega^i, Montgomery, i < n
+    long n;
+};
+
+// scratch: caller-provided, size n for this call (sub-calls get disjoint
+// m-sized slices, so parallel subtrees never alias).  threads: budget for
+// this subtree.
+static void ntt_rec(const NTTPlan &P, const Fp *in, Fp *out, Fp *scratch,
+                    long n, long instride, long wstep, int threads) {
+    const FieldCtx &C = *P.C;
+    if (n == 1) {
+        out[0] = in[0];
+        return;
+    }
+    // smallest factor
+    long f = 2;
+    while (n % f) f++;
+    long m = n / f;
+    if (threads > 1 && f > 1 && m >= 1024) {
+        std::vector<std::thread> ts;
+        int sub = std::max(1, (int)(threads / f));
+        for (long j2 = 0; j2 < f; j2++) {
+            ts.emplace_back([&, j2]() {
+                ntt_rec(P, in + j2 * instride, out + j2 * m,
+                        scratch + j2 * m, m, instride * f, wstep * f, sub);
+            });
+        }
+        for (auto &t : ts) t.join();
+    } else {
+        for (long j2 = 0; j2 < f; j2++) {
+            ntt_rec(P, in + j2 * instride, out + j2 * m, scratch + j2 * m,
+                    m, instride * f, wstep * f, 1);
+        }
+    }
+    // combine: X[k] = sum_j2 w^{wstep*j2*k} Y_j2[k mod m]
+    const long N = P.n;
+    auto combine = [&](long k0, long k1) {
+        for (long k = k0; k < k1; k++) {
+            Fp acc = out[k % m]; // j2 = 0 term (weight w^0)
+            for (long j2 = 1; j2 < f; j2++) {
+                long e = ((wstep * j2 % N) * (k % N)) % N;
+                Fp t;
+                fp_mont_mul(C, P.wtab[e], out[j2 * m + (k % m)], t);
+                fp_add(C, acc, t, acc);
+            }
+            scratch[k] = acc;
+        }
+    };
+    if (threads > 1 && n >= 4096) {
+        std::vector<std::thread> ts;
+        long chunk = (n + threads - 1) / threads;
+        for (int t = 0; t < threads; t++) {
+            long k0 = t * chunk, k1 = std::min(n, k0 + chunk);
+            if (k0 < k1) ts.emplace_back(combine, k0, k1);
+        }
+        for (auto &t : ts) t.join();
+    } else {
+        combine(0, n);
+    }
+    std::memcpy(out, scratch, n * sizeof(Fp));
+}
+
+extern "C" int pcd_ntt(long field_h, long n, const u64 *omega, const u64 *x,
+                       u64 *out, const u64 *scale_or_null) {
+    if (field_h < 0 || field_h >= (long)g_fields.size()) return -1;
+    const FieldCtx &C = *g_fields[field_h];
+    NTTPlan P;
+    P.C = &C;
+    P.n = n;
+    Fp w;
+    std::memcpy(w.v, omega, NL * 8);
+    fp_to_mont(C, w, w);
+    P.wtab.resize(n);
+    P.wtab[0] = C.one_mont;
+    for (long i = 1; i < n; i++) fp_mont_mul(C, P.wtab[i - 1], w, P.wtab[i]);
+    std::vector<Fp> scratch(n);
+    std::vector<Fp> xin(n), xout(n);
+    for (long i = 0; i < n; i++) {
+        Fp t;
+        std::memcpy(t.v, x + i * NL, NL * 8);
+        fp_to_mont(C, t, xin[i]);
+    }
+    ntt_rec(P, xin.data(), xout.data(), scratch.data(), n, 1, 1,
+            hw_threads());
+    Fp sc;
+    bool do_scale = scale_or_null != nullptr;
+    if (do_scale) {
+        std::memcpy(sc.v, scale_or_null, NL * 8);
+        fp_to_mont(C, sc, sc);
+    }
+    for (long i = 0; i < n; i++) {
+        Fp t = xout[i];
+        if (do_scale) fp_mont_mul(C, t, sc, t);
+        fp_from_mont(C, t, t);
+        std::memcpy(out + i * NL, t.v, NL * 8);
+    }
+    return 0;
+}
+
+// geometric scale: out[i] = x[i] * g^i (canonical in/out)
+extern "C" int pcd_geom_scale(long field_h, long n, const u64 *g,
+                              const u64 *x, u64 *out) {
+    if (field_h < 0 || field_h >= (long)g_fields.size()) return -1;
+    const FieldCtx &C = *g_fields[field_h];
+    Fp gm, cur;
+    std::memcpy(gm.v, g, NL * 8);
+    fp_to_mont(C, gm, gm);
+    cur = C.one_mont;
+    for (long i = 0; i < n; i++) {
+        Fp t;
+        std::memcpy(t.v, x + i * NL, NL * 8);
+        fp_to_mont(C, t, t);
+        fp_mont_mul(C, t, cur, t);
+        fp_from_mont(C, t, t);
+        std::memcpy(out + i * NL, t.v, NL * 8);
+        fp_mont_mul(C, cur, gm, cur);
+    }
+    return 0;
+}
+
+// elementwise ops on canonical vectors: out = (a op b) mod p
+// op: 0 add, 1 sub, 2 mul
+extern "C" int pcd_vec_op(long field_h, long n, int op, const u64 *a,
+                          const u64 *b, u64 *out) {
+    if (field_h < 0 || field_h >= (long)g_fields.size()) return -1;
+    const FieldCtx &C = *g_fields[field_h];
+    for (long i = 0; i < n; i++) {
+        Fp x, y, r;
+        std::memcpy(x.v, a + i * NL, NL * 8);
+        std::memcpy(y.v, b + i * NL, NL * 8);
+        if (op == 0) {
+            fp_add(C, x, y, r);
+        } else if (op == 1) {
+            fp_sub(C, x, y, r);
+        } else {
+            fp_to_mont(C, x, x);
+            fp_to_mont(C, y, y);
+            fp_mont_mul(C, x, y, r);
+            fp_from_mont(C, r, r);
+        }
+        std::memcpy(out + i * NL, r.v, NL * 8);
+    }
+    return 0;
+}

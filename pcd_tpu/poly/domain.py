@@ -106,13 +106,31 @@ class EvaluationDomain:
                 wk[j] = wk[j] * omega_pows_j[j] % p
         return out
 
+    _NATIVE_MIN = 256
+
+    def _native(self):
+        """C++ NTT backend (pcd_tpu/native) for production host sizes;
+        the Python recursion stays as oracle + small-size path."""
+        if self.n < self._NATIVE_MIN or self.p.bit_length() > 320:
+            return None
+        from .. import native
+
+        return native if native.available() else None
+
     def fft(self, coeffs):
         """coefficients (ints, len <= n) -> evaluations over the domain."""
         a = list(coeffs) + [0] * (self.n - len(coeffs))
         assert len(a) == self.n
+        nat = self._native()
+        if nat is not None:
+            return nat.ntt(self.p, self.omega, a)
         return self._fft_rec(a, self.omega)
 
     def ifft(self, evals):
+        nat = self._native()
+        if nat is not None:
+            return nat.ntt(self.p, self.omega_inv, list(evals),
+                           scale=self.n_inv)
         a = self._fft_rec(list(evals), self.omega_inv)
         ninv, p = self.n_inv, self.p
         return [x * ninv % p for x in a]
@@ -121,6 +139,9 @@ class EvaluationDomain:
         p = self.p
         g = self.coset_shift
         a = list(coeffs) + [0] * (self.n - len(coeffs))
+        nat = self._native()
+        if nat is not None:
+            return nat.ntt(p, self.omega, nat.geom_scale(p, g, a))
         gk = 1
         for i in range(self.n):
             a[i] = a[i] * gk % p
@@ -128,9 +149,13 @@ class EvaluationDomain:
         return self._fft_rec(a, self.omega)
 
     def coset_ifft(self, evals):
-        a = self.ifft(evals)
         p = self.p
         gi = self.coset_shift_inv
+        nat = self._native()
+        if nat is not None:
+            a = nat.ntt(p, self.omega_inv, list(evals), scale=self.n_inv)
+            return nat.geom_scale(p, gi, a)
+        a = self.ifft(evals)
         gk = 1
         for i in range(self.n):
             a[i] = a[i] * gk % p

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from ...msm.host import FixedBaseTable, msm as host_msm
+from ...msm.host import msm as host_msm
 from ...poly.domain import EvaluationDomain
 from ...r1cs.system import ConstraintSystem
 from ...utils.profiling import span
@@ -245,21 +245,24 @@ class Groth16:
             alpha_g1, beta_g1, delta_g1 = small1
             beta_g2, gamma_g2, delta_g2 = small2
         else:
-            t1 = FixedBaseTable(self.cfg.g1_gen, self.Fr.BITS, window=8)
-            t2 = FixedBaseTable(self.cfg.g2_gen, self.Fr.BITS, window=8)
-            gamma_abc = [t1.mul((beta * u[i] + alpha * v[i] + w[i]) % p
-                                * gamma_inv % p) for i in range(n_inst)]
-            l_query = [t1.mul((beta * u[i] + alpha * v[i] + w[i]) % p
-                              * delta_inv % p)
-                       for i in range(n_inst, num_vars)]
-            a_query = [t1.mul(u[i]) for i in range(num_vars)]
-            b_g1_query = [t1.mul(v[i]) for i in range(num_vars)]
-            b_g2_query = [t2.mul(v[i]) for i in range(num_vars)]
-            h_query = [t1.mul(s) for s in h_scalars]
-            alpha_g1, beta_g1, delta_g1 = (t1.mul(alpha), t1.mul(beta),
-                                           t1.mul(delta))
-            beta_g2, gamma_g2, delta_g2 = (t2.mul(beta), t2.mul(gamma),
-                                           t2.mul(delta))
+            from ...msm.host import fixed_base_many
+
+            g1g, g2g, bits = self.cfg.g1_gen, self.cfg.g2_gen, self.Fr.BITS
+            gamma_abc = fixed_base_many(
+                g1g, [(beta * u[i] + alpha * v[i] + w[i]) % p
+                      * gamma_inv % p for i in range(n_inst)], bits)
+            l_query = fixed_base_many(
+                g1g, [(beta * u[i] + alpha * v[i] + w[i]) % p
+                      * delta_inv % p for i in range(n_inst, num_vars)],
+                bits)
+            a_query = fixed_base_many(g1g, u, bits)
+            b_g1_query = fixed_base_many(g1g, v, bits)
+            b_g2_query = fixed_base_many(g2g, v, bits)
+            h_query = fixed_base_many(g1g, h_scalars, bits)
+            alpha_g1, beta_g1, delta_g1 = fixed_base_many(
+                g1g, [alpha, beta, delta], bits)
+            beta_g2, gamma_g2, delta_g2 = fixed_base_many(
+                g2g, [beta, gamma, delta], bits)
 
         vk = Groth16VK(
             alpha_g1=alpha_g1,

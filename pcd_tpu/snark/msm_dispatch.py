@@ -24,10 +24,14 @@ def fb_mul(cfg, which: str, scalars, scalar_bits: int, as_host: bool = False,
            force_host: bool = False):
     """[s_i] G batch for G = cfg's G1/G2 generator."""
     if force_host or len(scalars) < DEVICE_THRESHOLD or not _device_ok():
-        from ..msm.host import FixedBaseTable
+        from ..msm.host import (FixedBaseTable, _native, _native_curve_ok,
+                                fixed_base_many)
 
         curve = cfg.g1 if which == "g1" else cfg.g2
         base = cfg.g1_gen if which == "g1" else cfg.g2_gen
+        if len(scalars) >= 64 and _native_curve_ok(curve) \
+                and _native() is not None:
+            return fixed_base_many(base, scalars, scalar_bits)
         key = ("_fbt_" + which, scalar_bits)
         tbl = getattr(cfg, "_fb_cache", None)
         if tbl is None:

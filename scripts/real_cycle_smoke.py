@@ -28,6 +28,14 @@ CONFIGS = {
 
 
 def main():
+    if "--cpu" in sys.argv:
+        # host run: the auto backend stays on the Python/C++ host tier
+        # (the pcd_tpu/native Pippenger+NTT make real scale feasible on
+        # CPU; device init can hang when the TPU tunnel is down).  Must
+        # go through jax.config — axon overrides the env var at import.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from pcd_tpu import configs
     from pcd_tpu.pcd.api import FpPredicate
     from pcd_tpu.pcd.ec_cycle import HelpCircuit, MainCircuit
