@@ -320,7 +320,8 @@ class ECCyclePCD:
         crh_pp = ic.crh.setup(rng)
         shape_fn = getattr(ic.help_gadget, "vk_shape", None)
         shape = None
-        for _ in range(4):
+        floor = None  # (min_n, min_k) padding floor for the help SNARK
+        for _ in range(8):
             main_circuit = MainCircuit(ic, predicate, crh_pp,
                                        help_vk_shape=shape)
             main_pk, main_vk = ic.main_snark.circuit_specific_setup(
@@ -328,8 +329,9 @@ class ECCyclePCD:
             main_pvk = ic.main_snark.process_vk(main_vk)
 
             help_circuit = HelpCircuit(ic, main_pvk)
+            kw = {"min_shape": floor} if floor is not None else {}
             help_pk, help_vk = ic.help_snark.circuit_specific_setup(
-                help_circuit, rng)
+                help_circuit, rng, **kw)
             if shape_fn is None:
                 break
             real_shape = shape_fn(help_vk)
@@ -338,7 +340,17 @@ class ECCyclePCD:
             # shape-sensitive gadget (Marlin): re-run setup with the real
             # help-vk shape so MainCircuit structure matches prove time
             # (the reference resolves the same circular dependency with its
-            # universal-setup retry loop, ec_cycle_pcd/mod.rs:345-470)
+            # universal-setup retry loop, ec_cycle_pcd/mod.rs:345-470).
+            # The raw iteration can oscillate (period-2 between two nearby
+            # domain shapes): once we see a second mismatch, raise a
+            # monotone padding floor — the help domains are padded up to
+            # the running max, making the vk shape non-decreasing, so the
+            # iteration converges.
+            if shape is not None:
+                floor = (max(floor[0] if floor else 0, real_shape[0],
+                             shape[0]),
+                         max(floor[1] if floor else 0, real_shape[1],
+                             shape[1]))
             shape = real_shape
         else:
             raise PCDError("help-vk shape fixed point did not converge")
@@ -459,6 +471,7 @@ class UniversalSetupMixin:
         help_bound = type(main_bound)() if hasattr(main_bound, "clone") else 16
 
         shape = None
+        floor = None  # monotone padding floor (see circuit_specific_setup)
         for _ in range(16):
             main_pp = ic.main_snark.universal_setup(main_bound, rng)
             help_pp = ic.help_snark.universal_setup(help_bound, rng)
@@ -473,8 +486,9 @@ class UniversalSetupMixin:
             main_pvk = ic.main_snark.process_vk(main_vk)
             try:
                 help_circuit = HelpCircuit(ic, main_pvk)
+                kw = {"min_shape": floor} if floor is not None else {}
                 help_pk, help_vk = ic.help_snark.index(help_pp, help_circuit,
-                                                       rng)
+                                                       rng, **kw)
             except NeedLargerBound as e:
                 help_bound = e.bound
                 continue
@@ -482,23 +496,34 @@ class UniversalSetupMixin:
             if shape_fn is not None:
                 real_shape = shape_fn(help_vk)
                 if real_shape != shape:
+                    if shape is not None:
+                        floor = (max(floor[0] if floor else 0, real_shape[0],
+                                     shape[0]),
+                                 max(floor[1] if floor else 0, real_shape[1],
+                                     shape[1]))
                     shape = real_shape
                     continue
-            return (main_bound, crh_pp, main_pp, help_pp, shape)
+            return (main_bound, crh_pp, main_pp, help_pp, shape, floor)
         raise PCDError("universal setup did not converge")
 
     def index(self, pp, predicate, rng):
         from ..snark.api import NeedLargerBound
 
         ic = self.ic
-        main_bound, crh_pp, main_pp, help_pp, shape = pp
+        if len(pp) == 6:
+            main_bound, crh_pp, main_pp, help_pp, shape, floor = pp
+        else:  # pre-floor public parameters
+            main_bound, crh_pp, main_pp, help_pp, shape = pp
+            floor = None
         try:
             main_circuit = MainCircuit(ic, predicate, crh_pp,
                                        help_vk_shape=shape)
             main_pk, main_vk = ic.main_snark.index(main_pp, main_circuit, rng)
             main_pvk = ic.main_snark.process_vk(main_vk)
             help_circuit = HelpCircuit(ic, main_pvk)
-            help_pk, help_vk = ic.help_snark.index(help_pp, help_circuit, rng)
+            kw = {"min_shape": floor} if floor is not None else {}
+            help_pk, help_vk = ic.help_snark.index(help_pp, help_circuit, rng,
+                                                   **kw)
         except NeedLargerBound as e:
             raise PCDError(
                 f"the bound is not correctly chosen (need {e.bound})") from e

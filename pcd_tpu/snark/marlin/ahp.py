@@ -154,17 +154,25 @@ class AHP:
         self.p = F.MODULUS
 
     # -- indexer ---------------------------------------------------------
-    def index_dims(self, cs_rows, num_instance: int, num_vars: int):
+    def index_dims(self, cs_rows, num_instance: int, num_vars: int,
+                   min_n: int = 1, min_k: int = 1):
         """Domain selection only (no polynomial building): returns
         (n, hx, k_size, col_map, entries_per).  Cheap — lets the caller
-        raise NeedLargerBound BEFORE paying the index FFTs."""
+        raise NeedLargerBound BEFORE paying the index FFTs.
+
+        min_n/min_k: padding floors for the H and K domains.  Matrices are
+        zero outside the real rows and K entries are (0,0,0)-padded, so any
+        domain >= the natural size is sound.  Used by the PCD setup
+        fixed-point (pcd/ec_cycle.py) to break shape oscillation: the vk
+        shape becomes monotone in the floor, so driving the floor to the
+        running max converges."""
         p = self.p
         from ...poly.domain import _smooth_divisors
 
         # choose H and the input subdomain H_x together: H_x positions hold
         # ONLY instances (unused H_x slots must stay zero so xhat matches),
         # so we need n - hx >= num_witness
-        n_needed = max(len(cs_rows), num_vars)
+        n_needed = max(len(cs_rows), num_vars, min_n)
         H = EvaluationDomain.new(self.F, n_needed)
         while True:
             n = H.n
@@ -194,7 +202,7 @@ class AHP:
                         entries.append((r, col_map[cidx], v % p))
             entries_per[name] = entries
             nnz_max = max(nnz_max, len(entries))
-        k_size = EvaluationDomain.new(self.F, nnz_max).n
+        k_size = EvaluationDomain.new(self.F, max(nnz_max, min_k)).n
         return n, hx, k_size, col_map, entries_per
 
     def index(self, cs_rows, num_instance: int, num_vars: int,

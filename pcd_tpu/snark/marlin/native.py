@@ -134,14 +134,16 @@ class MarlinSNARK:
         """Returns public parameters (the KZG SRS)."""
         return self.kzg.setup(bound.max_degree, rng)
 
-    def index(self, srs, circuit, rng=None):
+    def index(self, srs, circuit, rng=None, min_shape=None):
         cs = ConstraintSystem(self.Fr)
         circuit.generate_constraints(cs)
         rows = self._matrix_rows(cs)
         nvars = cs.num_instance + cs.num_witness
         # size check BEFORE the expensive index-polynomial FFTs: the
         # universal-setup retry loop probes with too-small SRSs repeatedly
-        dims = self.ahp.index_dims(rows, cs.num_instance, nvars)
+        min_n, min_k = (min_shape[0], min_shape[1]) if min_shape else (1, 1)
+        dims = self.ahp.index_dims(rows, cs.num_instance, nvars,
+                                   min_n=min_n, min_k=min_k)
         need = self._required_degree(dims[0], dims[2])
         if need > srs.max_degree:
             raise NeedLargerBound(MarlinBound(max_degree=need))
@@ -161,13 +163,17 @@ class MarlinSNARK:
         return pk, vk
 
     # -- SNARK interface ---------------------------------------------------
-    def circuit_specific_setup(self, circuit, rng):
-        """Size the SRS for exactly this circuit, then index."""
+    def circuit_specific_setup(self, circuit, rng, min_shape=None):
+        """Size the SRS for exactly this circuit, then index.
+
+        min_shape: optional (n, k, ...) floor for the AHP domains (padding;
+        see AHP.index_dims) — lets the PCD setup fixed-point force a stable
+        vk shape."""
         bound = MarlinBound(max_degree=16)
         while True:
             srs = self.universal_setup(bound, rng)
             try:
-                return self.index(srs, circuit, rng)
+                return self.index(srs, circuit, rng, min_shape=min_shape)
             except NeedLargerBound as e:
                 bound = e.bound
 
