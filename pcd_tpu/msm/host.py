@@ -37,14 +37,32 @@ def _native():
     return native if native.available() else None
 
 
+def encode_query(points):
+    """Pre-marshal a fixed query table (pk queries, SRS powers) for
+    repeated native MSMs; returns the list unchanged when the native
+    tier can't take this curve.  Zero scalars need no host-side
+    filtering against an encoded table — the C++ bucket loop skips
+    zero digits."""
+    if len(points) >= _NATIVE_MSM_MIN and _native_curve_ok(points[0].curve):
+        native = _native()
+        if native is not None:
+            return native.encode_points(points)
+    return points
+
+
 def msm(points, scalars):
     """Variable-base MSM: sum scalars[i] * points[i].  Dispatches to the
     C++ backend (pcd_tpu/native — threaded Pippenger, ~100x the Python
     path at production sizes) when available; the Python window method
-    below remains the oracle and the fallback."""
+    below remains the oracle and the fallback.  `points` may be an
+    `native.EncodedPoints` table from encode_query()."""
     assert len(points) == len(scalars)
-    if not points:
+    if not len(points):
         raise ValueError("empty MSM")
+    from ..native import EncodedPoints
+
+    if isinstance(points, EncodedPoints):
+        return _native().msm(points, [int(s) for s in scalars])
     curve = points[0].curve
     if len(points) >= _NATIVE_MSM_MIN and _native_curve_ok(curve):
         native = _native()

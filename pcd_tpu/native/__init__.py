@@ -188,16 +188,54 @@ def _point_from_limbs(curve, deg, xy: np.ndarray):
     return curve.point(elem(0), elem(deg), check=False)
 
 
+class EncodedPoints:
+    """Affine point table pre-marshalled for pcd_msm.  Fixed query tables
+    (pk queries, KZG SRS powers) pay the Python-int -> limb conversion
+    once per process instead of on every prove — at production sizes the
+    per-call marshalling of a 2^18-point table costs more than the MSM."""
+
+    __slots__ = ("curve", "handle", "deg", "n", "xs", "ys", "inf")
+
+    def __init__(self, curve, points):
+        self.curve = curve
+        self.handle, self.deg, _ = curve_handle(curve)
+        self.n = len(points)
+        self.xs, self.ys, self.inf = _points_to_arrays(points, self.deg)
+
+    def __len__(self):
+        return self.n
+
+    def slice(self, start: int, stop: int) -> "EncodedPoints":
+        """Zero-copy subrange view (KZG shifted-power rows)."""
+        out = object.__new__(EncodedPoints)
+        out.curve, out.handle, out.deg = self.curve, self.handle, self.deg
+        out.xs = self.xs[start:stop]
+        out.ys = self.ys[start:stop]
+        out.inf = self.inf[start:stop]
+        out.n = out.xs.shape[0]
+        return out
+
+
+def encode_points(points) -> EncodedPoints:
+    return EncodedPoints(points[0].curve, points)
+
+
 def msm(points, scalars):
-    """Native variable-base MSM over host points; returns a host point."""
-    curve = points[0].curve
-    h, deg, _ = curve_handle(curve)
+    """Native variable-base MSM; `points` is a host point list or an
+    EncodedPoints table.  Returns a host point."""
+    if isinstance(points, EncodedPoints):
+        curve, h, deg = points.curve, points.handle, points.deg
+        xs, ys, inf, n = points.xs, points.ys, points.inf, points.n
+    else:
+        curve = points[0].curve
+        h, deg, _ = curve_handle(curve)
+        xs, ys, inf = _points_to_arrays(points, deg)
+        n = len(points)
     lib = _load()
-    xs, ys, inf = _points_to_arrays(points, deg)
     sc = ints_to_limbs([int(s) for s in scalars])
     out_xy = np.zeros(2 * deg * NL, dtype="<u8")
     out_inf = np.zeros(1, dtype=np.uint8)
-    rc = lib.pcd_msm(h, len(points), _u64p(xs), _u64p(ys), _u8p(inf),
+    rc = lib.pcd_msm(h, n, _u64p(xs), _u64p(ys), _u8p(inf),
                      _u64p(sc), _u64p(out_xy), _u8p(out_inf))
     if rc != 0:
         raise RuntimeError("pcd_msm failed")

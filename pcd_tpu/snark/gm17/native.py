@@ -358,18 +358,18 @@ class GM17:
 
         r = rng.randrange(p)
 
-        from ..msm_dispatch import msm_any
+        from ..msm_dispatch import host_query, msm_any
 
-        g_a = pk.vk.alpha_g1 + msm_any(pk.a_query, z, self.Fr.BITS) \
-            + pk.delta_g1 * r
-        g_b = pk.vk.alpha_g2 + msm_any(pk.b_query, z, self.Fr.BITS) \
+        a_part = msm_any(host_query(pk, "a_query"), z, self.Fr.BITS)  # G^{a(s)}
+        g_a = pk.vk.alpha_g1 + a_part + pk.delta_g1 * r
+        g_b = pk.vk.alpha_g2 + msm_any(host_query(pk, "b_query"), z,
+                                       self.Fr.BITS) \
             + pk.delta_g2 * r
 
         # C = sum_wit z_i (2 alpha a_i + c_i)/delta + h Z/delta
         #     + r * (2 alpha + 2 a(s)) + r^2 delta
-        c_acc = msm_any(pk.c_query, z[n_inst:], self.Fr.BITS)
-        c_acc = c_acc + msm_any(pk.h_query, h, self.Fr.BITS)
-        a_part = msm_any(pk.a_query, z, self.Fr.BITS)  # G^{a(s)}
+        c_acc = msm_any(host_query(pk, "c_query"), z[n_inst:], self.Fr.BITS)
+        c_acc = c_acc + msm_any(host_query(pk, "h_query"), h, self.Fr.BITS)
         c_acc = c_acc + (pk.vk.alpha_g1 * (2 * r % p)) \
             + (a_part * (2 * r % p)) + (pk.delta_g1 * (r * r % p))
         return GM17Proof(a=g_a, b=g_b, c=c_acc)

@@ -137,6 +137,15 @@ class Groth16:
             if self.dist is not None:
                 return self.dist.msm(mctx, arrays, digits)
             return mctx.msm_to_host(arrays, digits)
+        from ...native import EncodedPoints
+
+        if isinstance(query, EncodedPoints):
+            # pre-marshalled fixed table: no host-side zero filter (the
+            # C++ bucket loop skips zero digits); zip-truncate like the
+            # list path below
+            n = min(len(query), len(scalars))
+            return self.msm(query.slice(0, n) if len(query) != n else query,
+                            scalars[:n] if len(scalars) != n else scalars)
         nz = [(pt, s) for pt, s in zip(query, scalars) if s]
         if not nz:
             return query[0].curve.infinity()
@@ -400,6 +409,7 @@ class Groth16:
             return self._prove_commit(pk, n_inst, z, h, r, s)
 
     def _prove_commit(self, pk, n_inst, z, h, r, s):
+        from ..msm_dispatch import host_query
         from ...ops.fixed_base import DevicePointVec
 
         p = self.Fr.MODULUS
@@ -413,27 +423,28 @@ class Groth16:
                                len(pk.a_query))
             z_digits = jnp.asarray(mctx.digits_from_ints(z))
         with span("msm_a"):
-            g_a = pk.vk.alpha_g1 + self._msm_any(pk.a_query, z, z_digits) \
+            g_a = pk.vk.alpha_g1 \
+                + self._msm_any(host_query(pk, "a_query"), z, z_digits) \
                 + pk.delta_g1 * r
         with span("msm_b2"):
             g_b2 = pk.vk.beta_g2 \
-                + self._msm_any(pk.b_g2_query, z, z_digits) \
+                + self._msm_any(host_query(pk, "b_g2_query"), z, z_digits) \
                 + pk.vk.delta_g2 * s
         with span("msm_b1"):
-            g_b1 = pk.beta_g1 + self._msm_any(pk.b_g1_query, z, z_digits) \
+            g_b1 = pk.beta_g1 \
+                + self._msm_any(host_query(pk, "b_g1_query"), z, z_digits) \
                 + pk.delta_g1 * s
 
-        from ...ops.fixed_base import DevicePointVec
+        with span("msm_l"):
+            c_acc = self._msm_any(host_query(pk, "l_query"), z[n_inst:])
+        hq = host_query(pk, "h_query")
+        from ...native import EncodedPoints
 
-        if isinstance(pk.l_query, DevicePointVec):
-            with span("msm_l"):
-                c_acc = self._msm_any(pk.l_query, z[n_inst:])
+        if isinstance(hq, (DevicePointVec, EncodedPoints)):
             with span("msm_h"):
-                c_acc = c_acc + self._msm_any(pk.h_query, h)
+                c_acc = c_acc + self._msm_any(hq, h)
         else:
-            with span("msm_l"):
-                c_acc = self._msm_any(pk.l_query, z[n_inst:])
-            nz = [(pt, co) for pt, co in zip(pk.h_query, h) if co]
+            nz = [(pt, co) for pt, co in zip(hq, h) if co]
             if nz:
                 with span("msm_h"):
                     c_acc = c_acc + self.msm([a for a, _ in nz],

@@ -21,7 +21,7 @@ from dataclasses import dataclass
 
 from ...msm.host import FixedBaseTable, msm as host_msm
 from ...poly.domain import poly_eval
-from ..msm_dispatch import fb_mul, msm_any, subrange
+from ..msm_dispatch import fb_mul, host_query, msm_any, subrange
 
 
 @dataclass
@@ -73,12 +73,13 @@ class KZG10:
     def commit(self, srs: KZGSRS, coeffs, degree_bound=None) -> KZGCommitment:
         assert len(coeffs) <= srs.max_degree + 1, "degree exceeds SRS"
         coeffs = list(coeffs) or [0]
-        c = msm_any(subrange(srs.powers_g1, 0, len(coeffs)), coeffs,
+        powers = host_query(srs, "powers_g1")
+        c = msm_any(subrange(powers, 0, len(coeffs)), coeffs,
                     self.Fr.BITS)
         shadow = None
         if degree_bound is not None:
             assert len(coeffs) <= degree_bound + 1, "degree bound violated"
-            row = subrange(srs.powers_g1,
+            row = subrange(powers,
                            srs.max_degree - degree_bound,
                            srs.max_degree - degree_bound + len(coeffs))
             shadow = msm_any(row, coeffs, self.Fr.BITS)
@@ -95,7 +96,8 @@ class KZG10:
         for i in range(len(coeffs) - 1, 0, -1):
             acc = (coeffs[i] + acc * z) % p
             q[i - 1] = acc
-        pi = msm_any(subrange(srs.powers_g1, 0, len(q)), q, self.Fr.BITS)
+        pi = msm_any(subrange(host_query(srs, "powers_g1"), 0, len(q)), q,
+                     self.Fr.BITS)
         return y, pi
 
     def open_batch(self, srs: KZGSRS, polys, z: int, xi: int):

@@ -66,17 +66,55 @@ def msm_any(query, scalars, scalar_bits: int):
         arrays = query.as_f32() if mctx.backend == "f32" else query.arrays
         return mctx.msm_to_host(arrays, digits)
     from ..msm.host import msm as host_msm
+    from ..native import EncodedPoints
 
+    if isinstance(query, EncodedPoints):
+        # pre-marshalled table: no host-side zero filtering (the C++
+        # bucket loop skips zero digits at negligible cost).  Mirror the
+        # zip() truncation semantics of the list path below.
+        n = min(len(query), len(scalars))
+        if len(query) != n:
+            query = query.slice(0, n)
+        return host_msm(query, scalars if len(scalars) == n
+                        else scalars[:n])
     nz = [(pt, s) for pt, s in zip(query, scalars) if int(s)]
     if not nz:
         return query[0].curve.infinity()
     return host_msm([a for a, _ in nz], [b for _, b in nz])
 
 
-def subrange(query, start: int, stop=None):
+def host_query(owner, name: str):
+    """owner.<name> is a FIXED host point list consumed by repeated MSMs
+    (a pk query table / SRS powers).  Returns a pre-marshalled
+    EncodedPoints cached on the owner — the Python-side marshalling of a
+    production-size table costs more than the native MSM itself.
+    DevicePointVec queries pass through untouched."""
+    q = getattr(owner, name)
     from ..ops.fixed_base import DevicePointVec
 
-    if isinstance(query, DevicePointVec):
+    if isinstance(q, DevicePointVec) or not isinstance(q, list):
+        return q
+    cache = getattr(owner, "_host_enc", None)
+    if cache is None:
+        cache = {}
+        try:
+            object.__setattr__(owner, "_host_enc", cache)
+        except Exception:
+            return q
+    enc = cache.get(name)
+    if enc is None:
+        from ..msm.host import encode_query
+
+        enc = encode_query(q)
+        cache[name] = enc
+    return enc
+
+
+def subrange(query, start: int, stop=None):
+    from ..native import EncodedPoints
+    from ..ops.fixed_base import DevicePointVec
+
+    if isinstance(query, (DevicePointVec, EncodedPoints)):
         n = len(query)
         return query.slice(start, n if stop is None else stop)
     return query[start:stop]
