@@ -79,6 +79,19 @@ def _load():
     lib.pcd_vec_op.restype = ctypes.c_int
     lib.pcd_vec_op.argtypes = [ctypes.c_long, ctypes.c_long, ctypes.c_int,
                                u64p, u64p, u64p]
+    i64p = ctypes.POINTER(ctypes.c_long)
+    lib.pcd_spmat_new.restype = ctypes.c_long
+    lib.pcd_spmat_new.argtypes = [ctypes.c_long, ctypes.c_long, i64p, i64p,
+                                  u64p]
+    lib.pcd_spmat_apply.restype = ctypes.c_int
+    lib.pcd_spmat_apply.argtypes = [ctypes.c_long, ctypes.c_long, u64p, u64p]
+    lib.pcd_wprog_new.restype = ctypes.c_long
+    lib.pcd_wprog_new.argtypes = [ctypes.c_long, ctypes.c_long,
+                                  ctypes.c_long, ctypes.c_long, i64p,
+                                  ctypes.c_long, i64p, i64p, u64p, u64p]
+    lib.pcd_wprog_run.restype = ctypes.c_int
+    lib.pcd_wprog_run.argtypes = [ctypes.c_long, ctypes.c_long, i64p, u64p,
+                                  u64p]
     _lib = lib
     return lib
 
@@ -274,6 +287,152 @@ def fixed_base_batch(base, scalars, max_bits: int):
             xy = np.concatenate([oxs[i], oys[i]])
             out.append(_point_from_limbs(curve, deg, xy))
     return out
+
+
+class WProgNative:
+    """Native replay of a compiled WitnessProgram (r1cs/program.py).
+    Returns None from compile() when the program uses hint ops (Marlin's
+    nonnative escape hatch calls back into Python) — callers keep the
+    Python interpreter for those.  NOTE: native inversion of 0 yields 0
+    instead of raising; recorded programs never invert 0 on valid inputs,
+    and invalid witnesses are caught by the prover's satisfiability
+    check."""
+
+    __slots__ = ("handle", "n_inst", "n_wit", "ext_slots", "p")
+
+    def __init__(self, handle, n_inst, n_wit, ext_slots, p):
+        self.handle = handle
+        self.n_inst = n_inst
+        self.n_wit = n_wit
+        self.ext_slots = np.asarray(ext_slots, dtype=np.int64)
+        self.p = p
+
+    @classmethod
+    def compile(cls, prog):
+        """prog: r1cs.program.WitnessProgram -> WProgNative | None."""
+        lib = _load()
+        if lib is None or prog.hints or prog.p.bit_length() > 320:
+            return None
+        fh = field_handle(prog.p)
+        ops = np.zeros((len(prog.ops), 5), dtype=np.int64)
+        lc_off = [0]
+        lc_idx: list = []
+        lc_coeff: list = []
+        lc_const: list = []
+
+        def lc_id(lc):
+            idxs, coeffs, const = lc
+            lc_idx.extend(idxs)
+            lc_coeff.extend(coeffs)
+            lc_const.append(const)
+            lc_off.append(len(lc_idx))
+            return len(lc_const) - 1
+
+        # opcodes mirror r1cs/program.py (_MUL_VV..._LC); _HINT (9) bails
+        for k, e in enumerate(prog.ops):
+            code = e[0]
+            if code == 9:  # _HINT
+                return None
+            row = ops[k]
+            row[0] = code
+            row[1] = e[1]
+            if code == 0:       # MUL_VV
+                row[2], row[3] = e[2], e[3]
+            elif code == 1:     # MUL_VG
+                row[2], row[3] = e[2], lc_id(e[3])
+            elif code == 2:     # MUL_GG
+                row[2], row[3] = lc_id(e[2]), lc_id(e[3])
+            elif code == 3:     # INV_V
+                row[2] = e[2]
+            elif code in (5, 6):  # BITS_V / BITS_G
+                row[2], row[3] = e[2], e[3]
+                row[4] = e[4] if code == 5 else lc_id(e[4])
+            else:               # INV_G / ISZERO / INV0 / LC
+                row[2] = lc_id(e[2])
+        nlc = len(lc_const)
+        h = lib.pcd_wprog_new(
+            fh, prog.n_inst, prog.n_wit, len(prog.ops),
+            ops.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            nlc,
+            np.asarray(lc_off, dtype=np.int64).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_long)),
+            np.asarray(lc_idx, dtype=np.int64).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_long)),
+            _u64p(ints_to_limbs(lc_coeff) if lc_coeff else
+                  np.zeros((0, NL), dtype="<u8")),
+            _u64p(ints_to_limbs(lc_const) if lc_const else
+                  np.zeros((0, NL), dtype="<u8")))
+        if h < 0:
+            return None
+        return cls(h, prog.n_inst, prog.n_wit, prog.ext_slots, prog.p)
+
+    def run(self, ext_vals) -> list:
+        lib = _load()
+        if len(ext_vals) != len(self.ext_slots):
+            raise ValueError(
+                f"external input count mismatch: got {len(ext_vals)}, "
+                f"program expects {len(self.ext_slots)}")
+        ev = ints_to_limbs([int(v) % self.p for v in ext_vals])
+        nz = self.n_inst + self.n_wit
+        out = np.zeros((nz, NL), dtype="<u8")
+        rc = lib.pcd_wprog_run(
+            self.handle, len(ext_vals),
+            self.ext_slots.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            _u64p(ev), _u64p(out))
+        if rc != 0:
+            raise RuntimeError(f"pcd_wprog_run failed rc={rc}")
+        return limbs_to_ints(out)
+
+
+class SpMatrices:
+    """CSR R1CS matrices (A, B, C) registered with the native runtime for
+    repeated Az/Bz/Cz evaluations — the host tier of the prover matvec
+    (device tier: pcd_tpu/ops/matvec_tensor.py).  `rows` is the prover's
+    list of (a_lc, b_lc, c_lc) sparse column->coeff dicts."""
+
+    __slots__ = ("handles", "nrows", "modulus")
+
+    def __init__(self, modulus: int, rows, nrows: int | None = None):
+        lib = _load()
+        fh = field_handle(modulus)
+        self.modulus = modulus
+        self.nrows = len(rows) if nrows is None else nrows
+        self.handles = []
+        for k in range(3):
+            rowptr = np.zeros(self.nrows + 1, dtype=np.int64)
+            cols_l: list = []
+            vals_l: list = []
+            for r, row in enumerate(rows):
+                lc = row[k]
+                for col, co in lc.items():
+                    cols_l.append(col)
+                    vals_l.append(co % modulus)
+                rowptr[r + 1] = len(cols_l)
+            rowptr[len(rows):] = len(cols_l)
+            cols = np.asarray(cols_l, dtype=np.int64)
+            vals = ints_to_limbs(vals_l) if vals_l else np.zeros(
+                (0, NL), dtype="<u8")
+            h = lib.pcd_spmat_new(
+                fh, self.nrows,
+                rowptr.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                cols.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                _u64p(vals))
+            if h < 0:
+                raise RuntimeError("pcd_spmat_new failed")
+            self.handles.append(h)
+
+    def apply_all(self, z) -> tuple:
+        """(Az, Bz, Cz) as lists of canonical ints for a z of ints."""
+        lib = _load()
+        zl = ints_to_limbs([int(v) for v in z])
+        outs = []
+        for h in self.handles:
+            out = np.zeros((self.nrows, NL), dtype="<u8")
+            rc = lib.pcd_spmat_apply(h, len(z), _u64p(zl), _u64p(out))
+            if rc != 0:
+                raise RuntimeError("pcd_spmat_apply failed")
+            outs.append(limbs_to_ints(out))
+        return tuple(outs)
 
 
 def ntt(modulus: int, omega: int, values, scale: int | None = None) -> list:

@@ -564,6 +564,43 @@ static inline int scalar_bits_of(const u64 *s, int nl) {
 }
 
 // ------------------------------------------------------------------- MSM
+//
+// Signed-digit Pippenger with batch-affine bucket accumulation:
+//   - scalars are recoded to digits d in [-2^(c-1), 2^(c-1)-1], so a
+//     window needs 2^(c-1) buckets (negative digits negate the gathered
+//     point's y — one field negation vs doubling the bucket count);
+//   - per window, points are counting-sorted into bucket segments and
+//     summed by pairing rounds of AFFINE additions whose inversions are
+//     shared via Montgomery's batch-inversion trick: ~6 field muls per
+//     point vs ~11 for a mixed Jacobian add, and buckets stay affine so
+//     the suffix-sum reduction starts from mixed adds;
+//   - the window size is chosen by a mul-count cost model instead of a
+//     fixed heuristic.
+// (This is the host tier of SURVEY.md D4; the device tier is the JAX
+// sort+segmented-scan Pippenger in pcd_tpu/ops/msm_tensor.py.)
+
+// batch inversion (Montgomery's trick); v[i] != 0 required, in/out Mont.
+static void ext_batch_inv(const ExtCtx &E, Ext *v, long n, Ext *scratch) {
+    if (n <= 0) return;
+    scratch[0] = v[0];
+    for (long i = 1; i < n; i++) ext_mul(E, scratch[i - 1], v[i], scratch[i]);
+    Ext acc;
+    ext_inv(E, scratch[n - 1], acc);
+    for (long i = n - 1; i > 0; i--) {
+        Ext t;
+        ext_mul(E, acc, scratch[i - 1], t); // 1/v[i]
+        ext_mul(E, acc, v[i], acc);         // strip v[i]
+        v[i] = t;
+    }
+    v[0] = acc;
+}
+
+// marker for "affine infinity" inside the bucket work arrays: x = y = 0
+// is never on y^2 = x^3 + ax + b with b != 0 (all curves in this stack).
+static inline bool aff_is_marker(const ExtCtx &E, const Ext &x, const Ext &y) {
+    return ext_is_zero(E, x) && ext_is_zero(E, y);
+}
+
 // points: affine coords canonical, xs/ys each npts*deg*NL u64; inf: npts u8
 // scalars: npts*NL; out: 2*deg*NL u64 (affine x,y) + out_inf flag
 extern "C" int pcd_msm(long curve_h, long npts, const u64 *xs, const u64 *ys,
@@ -573,56 +610,233 @@ extern "C" int pcd_msm(long curve_h, long npts, const u64 *xs, const u64 *ys,
     const CurveCtx &K = *g_curves[curve_h];
     const ExtCtx &E = K.E;
     const int ds = E.deg * NL;
+    const int nthreads = hw_threads();
 
-    // convert points to Montgomery once
+    // ---- phase 0 (threaded over points): Montgomery load + max bits
     std::vector<Ext> PX(npts), PY(npts);
-    for (long i = 0; i < npts; i++) {
-        ext_load(E, xs + i * ds, PX[i]);
-        ext_load(E, ys + i * ds, PY[i]);
+    std::vector<int> tmax(nthreads, 1);
+    {
+        auto loader = [&](int tid) {
+            int mb = 1;
+            for (long i = tid; i < npts; i += nthreads) {
+                ext_load(E, xs + i * ds, PX[i]);
+                ext_load(E, ys + i * ds, PY[i]);
+                int b = scalar_bits_of(scalars + i * NL, NL);
+                if (b > mb) mb = b;
+            }
+            tmax[tid] = mb;
+        };
+        std::vector<std::thread> ts;
+        for (int t = 1; t < nthreads; t++) ts.emplace_back(loader, t);
+        loader(0);
+        for (auto &t : ts) t.join();
     }
     int maxbits = 1;
-    for (long i = 0; i < npts; i++) {
-        int b = scalar_bits_of(scalars + i * NL, NL);
-        if (b > maxbits) maxbits = b;
-    }
-    // window size by problem size
-    int c = 3;
-    while ((1L << (c + 2)) < npts && c < 16) c++;
-    int nwin = (maxbits + c - 1) / c;
-    const long nbuckets = 1L << c;
+    for (int t = 0; t < nthreads; t++)
+        if (tmax[t] > maxbits) maxbits = tmax[t];
 
-    // window sums in parallel (windows are independent); Horner tail after
-    std::vector<Jac> wsums(nwin);
-    const int nthreads = std::min(hw_threads(), nwin);
-    auto worker = [&](int tid) {
-        std::vector<Jac> buckets(nbuckets);
-        for (int w = tid; w < nwin; w += nthreads) {
-            for (long b2 = 0; b2 < nbuckets; b2++) jac_set_inf(buckets[b2]);
-            const int shift = w * c;
-            for (long i = 0; i < npts; i++) {
-                if (inf && inf[i]) continue;
+    // ---- window size by mul-count cost model (signed digits):
+    // accumulation ~6 muls/point/window, reduction ~28 muls/bucket/window
+    int c = 2;
+    double best = 1e300;
+    for (int cc = 2; cc <= 20; cc++) {
+        double nw = (double)((maxbits + cc - 1) / cc + 1);
+        double cost = nw * (6.0 * (double)npts + 28.0 * (double)(1L << (cc - 1)));
+        if (cost < best) { best = cost; c = cc; }
+    }
+    const int nwin = (maxbits + c - 1) / c + 1; // +1: signed carry-out
+    const long half = 1L << (c - 1);
+    const u64 full = 1UL << c;
+
+    // ---- phase 1 (threaded over points): signed-digit recode
+    // dig[w*npts+i] = mag | (sign << 31), mag <= half
+    std::vector<uint32_t> dig((size_t)nwin * npts);
+    {
+        auto recoder = [&](int tid) {
+            for (long i = tid; i < npts; i += nthreads) {
                 const u64 *s = scalars + i * NL;
-                int limb = shift / 64, off = shift % 64;
-                u64 d = s[limb] >> off;
-                if (off && limb + 1 < NL) d |= s[limb + 1] << (64 - off);
-                d &= (u64)(nbuckets - 1);
-                if (!d) continue;
-                jac_add_affine(K, buckets[d], PX[i], PY[i], buckets[d]);
+                const bool skip = inf && inf[i];
+                u64 carry = 0;
+                for (int w = 0; w < nwin; w++) {
+                    u64 d;
+                    if (skip) { dig[(size_t)w * npts + i] = 0; continue; }
+                    const int shift = w * c;
+                    const int limb = shift / 64, off = shift % 64;
+                    if (limb >= NL) d = carry;
+                    else {
+                        d = s[limb] >> off;
+                        if (off && limb + 1 < NL) d |= s[limb + 1] << (64 - off);
+                        d = (d & (full - 1)) + carry;
+                    }
+                    if (d >= (u64)half) {
+                        // d - full in [-half, 0]; store |d - full|
+                        dig[(size_t)w * npts + i] =
+                            (uint32_t)(full - d) | 0x80000000u;
+                        carry = 1;
+                    } else {
+                        dig[(size_t)w * npts + i] = (uint32_t)d;
+                        carry = 0;
+                    }
+                }
             }
-            // suffix-sum bucket reduction
+        };
+        std::vector<std::thread> ts;
+        for (int t = 1; t < nthreads; t++) ts.emplace_back(recoder, t);
+        recoder(0);
+        for (auto &t : ts) t.join();
+    }
+
+    // ---- phase 2 (threaded over windows): batch-affine bucket sums
+    std::vector<Jac> wsums(nwin);
+    const int wthreads = std::min(nthreads, nwin);
+    auto worker = [&](int tid) {
+        std::vector<Ext> ax(npts), ay(npts);
+        std::vector<Ext> den(npts / 2 + 1), scratch(npts / 2 + 1);
+        std::vector<long> start(half + 1), len(half + 1), fill(half + 1);
+        std::vector<long> p1(npts / 2 + 1), pseg(npts / 2 + 1);
+        std::vector<uint8_t> pdbl(npts / 2 + 1);
+        for (int w = tid; w < nwin; w += wthreads) {
+            const uint32_t *dw = dig.data() + (size_t)w * npts;
+            // counting sort into bucket segments by |digit|
+            std::fill(len.begin(), len.end(), 0);
+            for (long i = 0; i < npts; i++) {
+                uint32_t m = dw[i] & 0x7FFFFFFFu;
+                if (m) len[m]++;
+            }
+            long acc_pos = 0;
+            for (long m = 1; m <= half; m++) {
+                start[m] = acc_pos;
+                fill[m] = acc_pos;
+                acc_pos += len[m];
+            }
+            for (long i = 0; i < npts; i++) {
+                uint32_t dv = dw[i];
+                uint32_t m = dv & 0x7FFFFFFFu;
+                if (!m) continue;
+                long k = fill[m]++;
+                ax[k] = PX[i];
+                if (dv & 0x80000000u) ext_neg(E, PY[i], ay[k]);
+                else ay[k] = PY[i];
+            }
+            // pairing rounds with shared batch inversion
+            bool again = true;
+            while (again) {
+                again = false;
+                long npairs = 0;
+                for (long m = 1; m <= half; m++) {
+                    long L = len[m], s0 = start[m];
+                    if (L < 2) continue;
+                    for (long j = 0; j + 1 < L; j += 2) {
+                        const Ext &x1 = ax[s0 + j], &y1 = ay[s0 + j];
+                        const Ext &x2 = ax[s0 + j + 1], &y2 = ay[s0 + j + 1];
+                        Ext d;
+                        ext_sub(E, x2, x1, d);
+                        if (ext_is_zero(E, d)) {
+                            Ext sy;
+                            ext_add(E, y1, y2, sy);
+                            if (ext_is_zero(E, sy)) {
+                                // P + (-P) = infinity: mark both inputs so
+                                // the apply pass emits the marker
+                                pdbl[npairs] = 2;
+                                // dummy nonzero value keeps batch_inv happy
+                                ext_zero(den[npairs]);
+                                den[npairs].c[0] = E.base.one_mont;
+                            } else {
+                                // doubling: den = 2*y1
+                                pdbl[npairs] = 1;
+                                ext_add(E, y1, y1, den[npairs]);
+                            }
+                        } else {
+                            pdbl[npairs] = 0;
+                            den[npairs] = d;
+                        }
+                        p1[npairs] = s0 + j;
+                        pseg[npairs] = m;
+                        npairs++;
+                    }
+                }
+                if (!npairs) break;
+                ext_batch_inv(E, den.data(), npairs, scratch.data());
+                // apply pass: results written to the segment front
+                // (pair k of segment m reads s0+2k, s0+2k+1 and writes
+                // s0+k — strictly behind unread inputs)
+                long k_in_seg = 0;
+                long prev_seg = -1;
+                for (long q = 0; q < npairs; q++) {
+                    long m = pseg[q];
+                    if (m != prev_seg) { prev_seg = m; k_in_seg = 0; }
+                    long s0 = start[m];
+                    long i1 = p1[q];
+                    long out = s0 + k_in_seg;
+                    k_in_seg++;
+                    if (pdbl[q] == 2) { // infinity marker
+                        ext_zero(ax[out]);
+                        ext_zero(ay[out]);
+                        continue;
+                    }
+                    Ext lam, t, x3, y3;
+                    if (pdbl[q] == 1) {
+                        // lambda = (3 x1^2 + a) / (2 y1)
+                        ext_sqr(E, ax[i1], t);
+                        Ext t3;
+                        ext_add(E, t, t, t3);
+                        ext_add(E, t3, t, t3);
+                        if (!K.a_is_zero) ext_add(E, t3, K.a, t3);
+                        ext_mul(E, t3, den[q], lam);
+                    } else {
+                        Ext dy;
+                        ext_sub(E, ay[i1 + 1], ay[i1], dy);
+                        ext_mul(E, dy, den[q], lam);
+                    }
+                    ext_sqr(E, lam, x3);
+                    ext_sub(E, x3, ax[i1], x3);
+                    ext_sub(E, x3, ax[i1 + 1], x3);
+                    ext_sub(E, ax[i1], x3, t);
+                    ext_mul(E, lam, t, y3);
+                    ext_sub(E, y3, ay[i1], y3);
+                    ax[out] = x3;
+                    ay[out] = y3;
+                }
+                // compact: move odd leftovers, drop infinity markers
+                for (long m = 1; m <= half; m++) {
+                    long L = len[m], s0 = start[m];
+                    if (L < 2) continue;
+                    long np = L / 2;
+                    long newL = np;
+                    if (L & 1) {
+                        ax[s0 + np] = ax[s0 + L - 1];
+                        ay[s0 + np] = ay[s0 + L - 1];
+                        newL++;
+                    }
+                    long wpos = s0;
+                    for (long j = 0; j < newL; j++) {
+                        if (aff_is_marker(E, ax[s0 + j], ay[s0 + j])) continue;
+                        if (wpos != s0 + j) {
+                            ax[wpos] = ax[s0 + j];
+                            ay[wpos] = ay[s0 + j];
+                        }
+                        wpos++;
+                    }
+                    len[m] = wpos - s0;
+                    if (len[m] > 1) again = true;
+                }
+            }
+            // suffix-sum reduction over (now affine, 0/1-entry) buckets
             Jac running, wsum;
             jac_set_inf(running);
             jac_set_inf(wsum);
-            for (long b2 = nbuckets - 1; b2 >= 1; b2--) {
-                jac_add(K, running, buckets[b2], running);
+            for (long m = half; m >= 1; m--) {
+                if (len[m])
+                    jac_add_affine(K, running, ax[start[m]], ay[start[m]],
+                                   running);
                 jac_add(K, wsum, running, wsum);
             }
             wsums[w] = wsum;
         }
     };
-    if (nthreads > 1) {
+    if (wthreads > 1) {
         std::vector<std::thread> ts;
-        for (int t = 0; t < nthreads; t++) ts.emplace_back(worker, t);
+        for (int t = 0; t < wthreads; t++) ts.emplace_back(worker, t);
         for (auto &t : ts) t.join();
     } else {
         worker(0);
@@ -865,6 +1079,248 @@ extern "C" int pcd_geom_scale(long field_h, long n, const u64 *g,
 
 // elementwise ops on canonical vectors: out = (a op b) mod p
 // op: 0 add, 1 sub, 2 mul
+// ------------------------------------------------------ witness programs
+// Native replay of the straight-line witness tape (pcd_tpu/r1cs/program.py
+// — the TPU-first answer to the reference re-running circuit synthesis
+// per prove, src/ec_cycle_pcd/mod.rs:171,179).  Ops are fixed 5-slot
+// int64 records; linear combinations live in a shared flattened table
+// with coefficients pre-converted to Montgomery at registration.  Hint
+// ops (Marlin's nonnative gadget escape hatch) are NOT supported here —
+// the Python tier keeps those programs.
+//
+// opcode records (code, tgt, a, b, c):
+//   0 MUL_VV  z[tgt] = z[a] * z[b]
+//   1 MUL_VG  z[tgt] = z[a] * lc(b)
+//   2 MUL_GG  z[tgt] = lc(a) * lc(b)
+//   3 INV_V   z[tgt] = z[a]^-1          (0 stays 0 — caller's contract)
+//   4 INV_G   z[tgt] = lc(a)^-1
+//   5 BITS_V  z[tgt+j] = bit (b+j) of z[c],  j < a
+//   6 BITS_G  z[tgt+j] = bit (b+j) of lc(c), j < a
+//   7 ISZERO  z[tgt] = lc(a) == 0
+//   8 INV0    z[tgt] = lc(a)^-1 or 0
+//  10 LC      z[tgt] = lc(a)
+struct WProg {
+    const FieldCtx *C;
+    long n_inst, n_wit;
+    std::vector<long> ops;      // 5 per op
+    std::vector<long> lc_off;   // nlc + 1
+    std::vector<long> lc_idx;   // term z-indices
+    std::vector<Fp> lc_coeff;   // Montgomery
+    std::vector<Fp> lc_const;   // Montgomery, per lc
+};
+static std::vector<WProg *> g_wprogs;
+
+extern "C" long pcd_wprog_new(long field_h, long n_inst, long n_wit,
+                              long nops, const long *ops, long nlc,
+                              const long *lc_off, const long *lc_idx,
+                              const u64 *lc_coeff, const u64 *lc_const) {
+    if (field_h < 0 || field_h >= (long)g_fields.size()) return -1;
+    std::lock_guard<std::mutex> g(g_lock);
+    const FieldCtx &C = *g_fields[field_h];
+    WProg *W = new WProg();
+    W->C = &C;
+    W->n_inst = n_inst;
+    W->n_wit = n_wit;
+    W->ops.assign(ops, ops + nops * 5);
+    W->lc_off.assign(lc_off, lc_off + nlc + 1);
+    const long nterms = lc_off[nlc];
+    W->lc_idx.assign(lc_idx, lc_idx + nterms);
+    W->lc_coeff.resize(nterms);
+    for (long i = 0; i < nterms; i++) {
+        Fp t;
+        std::memcpy(t.v, lc_coeff + i * NL, NL * 8);
+        fp_to_mont(C, t, W->lc_coeff[i]);
+    }
+    W->lc_const.resize(nlc);
+    for (long i = 0; i < nlc; i++) {
+        Fp t;
+        std::memcpy(t.v, lc_const + i * NL, NL * 8);
+        fp_to_mont(C, t, W->lc_const[i]);
+    }
+    g_wprogs.push_back(W);
+    return (long)g_wprogs.size() - 1;
+}
+
+extern "C" int pcd_wprog_run(long prog_h, long n_ext, const long *ext_slots,
+                             const u64 *ext_vals, u64 *out_z) {
+    if (prog_h < 0 || prog_h >= (long)g_wprogs.size()) return -1;
+    const WProg &W = *g_wprogs[prog_h];
+    const FieldCtx &C = *W.C;
+    const long nz = W.n_inst + W.n_wit;
+    std::vector<Fp> z(nz);
+    std::memset(z.data(), 0, nz * sizeof(Fp));
+    z[0] = C.one_mont;
+    for (long i = 0; i < n_ext; i++) {
+        Fp t;
+        std::memcpy(t.v, ext_vals + i * NL, NL * 8);
+        fp_to_mont(C, t, z[ext_slots[i]]);
+    }
+    auto lc_eval = [&](long id, Fp &out) {
+        Fp acc = W.lc_const[id];
+        for (long j = W.lc_off[id]; j < W.lc_off[id + 1]; j++) {
+            Fp t;
+            fp_mont_mul(C, W.lc_coeff[j], z[W.lc_idx[j]], t);
+            fp_add(C, acc, t, acc);
+        }
+        out = acc;
+    };
+    const long nops = (long)W.ops.size() / 5;
+    for (long k = 0; k < nops; k++) {
+        const long *e = W.ops.data() + k * 5;
+        const long code = e[0], tgt = e[1];
+        Fp a, b;
+        switch (code) {
+        case 0:
+            fp_mont_mul(C, z[e[2]], z[e[3]], z[tgt]);
+            break;
+        case 1:
+            lc_eval(e[3], b);
+            fp_mont_mul(C, z[e[2]], b, z[tgt]);
+            break;
+        case 2:
+            lc_eval(e[2], a);
+            lc_eval(e[3], b);
+            fp_mont_mul(C, a, b, z[tgt]);
+            break;
+        case 3:
+            fp_inv(C, z[e[2]], z[tgt]);
+            break;
+        case 4:
+            lc_eval(e[2], a);
+            fp_inv(C, a, z[tgt]);
+            break;
+        case 5:
+        case 6: {
+            if (code == 5) a = z[e[4]];
+            else lc_eval(e[4], a);
+            Fp canon;
+            fp_from_mont(C, a, canon);
+            const long n = e[2], start = e[3];
+            for (long j = 0; j < n; j++) {
+                const long bit = start + j;
+                const int limb = (int)(bit / 64), off = (int)(bit % 64);
+                const u64 v = (limb < NL) ? ((canon.v[limb] >> off) & 1) : 0;
+                if (v) z[tgt + j] = C.one_mont;
+                else std::memset(z[tgt + j].v, 0, NL * 8);
+            }
+            break;
+        }
+        case 7:
+            lc_eval(e[2], a);
+            if (fp_is_zero(a)) z[tgt] = C.one_mont;
+            else std::memset(z[tgt].v, 0, NL * 8);
+            break;
+        case 8:
+            lc_eval(e[2], a);
+            if (fp_is_zero(a)) std::memset(z[tgt].v, 0, NL * 8);
+            else fp_inv(C, a, z[tgt]);
+            break;
+        case 10:
+            lc_eval(e[2], z[tgt]);
+            break;
+        default:
+            return -2;
+        }
+    }
+    // canonical output
+    const int nthreads = hw_threads();
+    auto conv = [&](int tid) {
+        for (long i = tid; i < nz; i += nthreads) {
+            Fp t;
+            fp_from_mont(C, z[i], t);
+            std::memcpy(out_z + i * NL, t.v, NL * 8);
+        }
+    };
+    std::vector<std::thread> ts;
+    for (int t = 1; t < nthreads; t++) ts.emplace_back(conv, t);
+    conv(0);
+    for (auto &t : ts) t.join();
+    return 0;
+}
+
+// ------------------------------------------------------- sparse matrices
+// CSR R1CS matrices for the prover's Az/Bz/Cz evaluations (reference:
+// the witness-map step of ark-groth16/gm17 prove; host tier of
+// SURVEY.md D7 "witness generation sharded over constraints").  Values
+// are stored in Montgomery form once at registration; apply() converts
+// z per call and runs rows threaded.
+struct SpMat {
+    const FieldCtx *C;
+    long nrows;
+    std::vector<long> rowptr; // nrows + 1
+    std::vector<long> col;    // nnz
+    std::vector<Fp> val;      // nnz, Montgomery
+};
+static std::vector<SpMat *> g_spmats;
+
+extern "C" long pcd_spmat_new(long field_h, long nrows, const long *rowptr,
+                              const long *cols, const u64 *vals) {
+    if (field_h < 0 || field_h >= (long)g_fields.size()) return -1;
+    std::lock_guard<std::mutex> g(g_lock);
+    const FieldCtx &C = *g_fields[field_h];
+    SpMat *M = new SpMat();
+    M->C = &C;
+    M->nrows = nrows;
+    M->rowptr.assign(rowptr, rowptr + nrows + 1);
+    const long nnz = rowptr[nrows];
+    M->col.assign(cols, cols + nnz);
+    M->val.resize(nnz);
+    for (long i = 0; i < nnz; i++) {
+        Fp t;
+        std::memcpy(t.v, vals + i * NL, NL * 8);
+        fp_to_mont(C, t, M->val[i]);
+    }
+    g_spmats.push_back(M);
+    return (long)g_spmats.size() - 1;
+}
+
+// out[r] = sum_j val[j] * z[col[j]]; z/out canonical little-endian limbs
+extern "C" int pcd_spmat_apply(long mat_h, long nvars, const u64 *z,
+                               u64 *out) {
+    if (mat_h < 0 || mat_h >= (long)g_spmats.size()) return -1;
+    const SpMat &M = *g_spmats[mat_h];
+    const FieldCtx &C = *M.C;
+    const int nthreads = hw_threads();
+    std::vector<Fp> zm(nvars);
+    {
+        auto conv = [&](int tid) {
+            for (long i = tid; i < nvars; i += nthreads) {
+                Fp t;
+                std::memcpy(t.v, z + i * NL, NL * 8);
+                fp_to_mont(C, t, zm[i]);
+            }
+        };
+        std::vector<std::thread> ts;
+        for (int t = 1; t < nthreads; t++) ts.emplace_back(conv, t);
+        conv(0);
+        for (auto &t : ts) t.join();
+    }
+    auto rows = [&](long r0, long r1) {
+        for (long r = r0; r < r1; r++) {
+            Fp acc = {{0, 0, 0, 0, 0}};
+            for (long j = M.rowptr[r]; j < M.rowptr[r + 1]; j++) {
+                Fp t;
+                fp_mont_mul(C, M.val[j], zm[M.col[j]], t);
+                fp_add(C, acc, t, acc);
+            }
+            fp_from_mont(C, acc, acc);
+            std::memcpy(out + r * NL, acc.v, NL * 8);
+        }
+    };
+    if (nthreads > 1 && M.nrows >= 4096) {
+        std::vector<std::thread> ts;
+        long chunk = (M.nrows + nthreads - 1) / nthreads;
+        for (int t = 0; t < nthreads; t++) {
+            long r0 = t * chunk, r1 = std::min(M.nrows, r0 + chunk);
+            if (r0 < r1) ts.emplace_back(rows, r0, r1);
+        }
+        for (auto &t : ts) t.join();
+    } else {
+        rows(0, M.nrows);
+    }
+    return 0;
+}
+
 extern "C" int pcd_vec_op(long field_h, long n, int op, const u64 *a,
                           const u64 *b, u64 *out) {
     if (field_h < 0 || field_h >= (long)g_fields.size()) return -1;

@@ -64,6 +64,8 @@ class WitnessProgram:
         self.ops = ops
         self.hints = hints              # list of (fn, [compiled lcs])
         self.record_ext = record_ext    # ext values seen at record time
+        self._native = None             # lazily-compiled C++ replay
+        self._native_tried = False
 
     @property
     def num_ext(self) -> int:
@@ -72,7 +74,21 @@ class WitnessProgram:
     # ------------------------------------------------------------------
     def run(self, ext_vals):
         """Replay: ext_vals (ints, allocation order) -> full assignment z
-        (list of ints, [instance..., witness...])."""
+        (list of ints, [instance..., witness...]).  Hint-free programs
+        replay on the C++ tier (pcd_native.pcd_wprog_run, ~10x the
+        Python interpreter at MainCircuit scale); hint programs and
+        wide-modulus fields stay on the Python interpreter below."""
+        if not self._native_tried:
+            self._native_tried = True
+            try:
+                from .. import native as _nat
+
+                if _nat.available():
+                    self._native = _nat.WProgNative.compile(self)
+            except Exception:
+                self._native = None
+        if self._native is not None:
+            return self._native.run(ext_vals)
         p = self.p
         if len(ext_vals) != len(self.ext_slots):
             raise ValueError(

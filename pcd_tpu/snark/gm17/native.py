@@ -102,6 +102,22 @@ class GM17:
 
         return n_rows >= self.DEVICE_THRESHOLD and _device_ok()
 
+    def _use_device_keygen(self, n_rows: int) -> bool:
+        """Key generation tier: in auto mode prefer the host C++ windowed
+        fixed-base (measured faster than the device gather path at every
+        size — see Groth16._use_device_keygen); device only on explicit
+        request or when the native tier can't take the curves."""
+        if not self._use_device(n_rows):
+            return False
+        if self.backend == "device":
+            return True
+        from ...msm.host import _native, _native_curve_ok
+
+        if (_native() is not None and _native_curve_ok(self.cfg.g1)
+                and _native_curve_ok(self.cfg.g2)):
+            return False
+        return True
+
     # -- R1CS -> SAP ----------------------------------------------------
     def _sap_rows(self, cs: ConstraintSystem):
         """Returns (rows, num_sap_vars): rows are (a_lc, c_lc) dicts over
@@ -189,7 +205,7 @@ class GM17:
 
         from ..msm_dispatch import fb_mul
 
-        force_host = not self._use_device(len(rows))
+        force_host = not self._use_device_keygen(len(rows))
         h_scalars = []
         cur = zt * delta_inv % p
         for _ in range(domain.n - 1):
@@ -320,13 +336,25 @@ class GM17:
                 h_cos = fp.mont_mul(prod, jnp.broadcast_to(zh, prod.shape))
                 h = fctx.decode(fctx.coset_ifft(h_cos))[: domain.n - 1]
             else:
-                azs = [0] * n_cons
-                bzs = [0] * n_cons
-                czs = [0] * n_cons
-                for j, (ra, rb, rc) in enumerate(rows3):
-                    azs[j] = sum(co * z[col] for col, co in ra.items()) % p
-                    bzs[j] = sum(co * z[col] for col, co in rb.items()) % p
-                    czs[j] = sum(co * z[col] for col, co in rc.items()) % p
+                from ... import native as _nat
+
+                if _nat.available() and p.bit_length() <= 320:
+                    mats = getattr(pk, "_host_mats", None)
+                    if mats is None:
+                        mats = _nat.SpMatrices(p, rows3, n_cons)
+                        pk._host_mats = mats
+                    azs, bzs, czs = mats.apply_all(z)
+                else:
+                    azs = [0] * n_cons
+                    bzs = [0] * n_cons
+                    czs = [0] * n_cons
+                    for j, (ra, rb, rc) in enumerate(rows3):
+                        azs[j] = sum(co * z[col]
+                                     for col, co in ra.items()) % p
+                        bzs[j] = sum(co * z[col]
+                                     for col, co in rb.items()) % p
+                        czs[j] = sum(co * z[col]
+                                     for col, co in rc.items()) % p
                 if replayed:
                     for j in range(n_cons):
                         if (azs[j] * bzs[j] - czs[j]) % p:

@@ -99,6 +99,23 @@ class Groth16:
 
         return n >= self.DEVICE_THRESHOLD and _device_ok()
 
+    def _use_device_keygen(self, n: int) -> bool:
+        """Key generation tier.  In auto mode the host C++ windowed
+        fixed-base wins at every measured size (full MNT-298 setup:
+        57.9 s host tier vs 135 s device gather path, round 3), so the
+        device keygen only runs when explicitly requested or when the
+        native tier can't take this cycle's curves."""
+        if not self._use_device(n):
+            return False
+        if self.backend == "device":
+            return True
+        from ...msm.host import _native, _native_curve_ok
+
+        if (_native() is not None and _native_curve_ok(self.cfg.g1)
+                and _native_curve_ok(self.cfg.g2)):
+            return False
+        return True
+
     # -- device helpers --------------------------------------------------
     def _fb_mul(self, which: str, scalars, as_host: bool = False):
         """Fixed-base scalar batch on device; `which` in {'g1','g2'}."""
@@ -238,7 +255,7 @@ class Groth16:
             h_scalars.append(cur)
             cur = cur * tau % p
 
-        if self._use_device(len(rows)):
+        if self._use_device_keygen(len(rows)):
             gamma_abc = self._fb_mul(
                 "g1", [(beta * u[i] + alpha * v[i] + w[i]) % p * gamma_inv % p
                        for i in range(n_inst)], as_host=True)
@@ -386,13 +403,25 @@ class Groth16:
                         prod, jnp.broadcast_to(zh, prod.shape))
                     h = fctx.decode(fctx.coset_ifft(h_cos))
             else:
-                a_ev = [0] * domain.n
-                b_ev = [0] * domain.n
-                c_ev = [0] * domain.n
-                for j, (ra, rb, rc) in enumerate(rows):
-                    a_ev[j] = sum(co * z[col] for col, co in ra.items()) % p
-                    b_ev[j] = sum(co * z[col] for col, co in rb.items()) % p
-                    c_ev[j] = sum(co * z[col] for col, co in rc.items()) % p
+                from ... import native as _nat
+
+                if _nat.available() and p.bit_length() <= 320:
+                    mats = getattr(pk, "_host_mats", None)
+                    if mats is None:
+                        mats = _nat.SpMatrices(p, rows, domain.n)
+                        pk._host_mats = mats
+                    a_ev, b_ev, c_ev = mats.apply_all(z)
+                else:
+                    a_ev = [0] * domain.n
+                    b_ev = [0] * domain.n
+                    c_ev = [0] * domain.n
+                    for j, (ra, rb, rc) in enumerate(rows):
+                        a_ev[j] = sum(co * z[col]
+                                      for col, co in ra.items()) % p
+                        b_ev[j] = sum(co * z[col]
+                                      for col, co in rb.items()) % p
+                        c_ev[j] = sum(co * z[col]
+                                      for col, co in rc.items()) % p
                 if replayed:
                     for j in range(n_cons):
                         if (a_ev[j] * b_ev[j] - c_ev[j]) % p:

@@ -92,3 +92,84 @@ def test_native_geom_scale():
     for i, v in enumerate(vals):
         assert got[i] == v * cur % p
         cur = cur * g % p
+
+
+def test_native_msm_bucket_edge_cases():
+    """Batch-affine bucket accumulation: repeated points (in-bucket
+    doubling chains), P/-P cancellations (in-bucket infinity), infinity
+    inputs, zero/equal scalars — all against the plain add oracle."""
+    cfg = M.mnt4_298()
+    g = cfg.g1_gen
+    r = cfg.g1.order
+    P = g * 7
+    pts = [g, g, P, -P, g * 3, cfg.g1.infinity(), P, P, -P, g * 11] * 20
+    choices = [0, 1, 2, (1 << 297) % r, rng.randrange(r), 5, 5, r - 1]
+    scalars = [rng.choice(choices) for _ in pts]
+    acc = cfg.g1.infinity()
+    for pt, s in zip(pts, scalars):
+        acc = acc + pt * s
+    assert native.msm(pts, scalars) == acc
+    # equal scalars: every bucket collision is a doubling chain
+    s0 = 12345678901234567890 % r
+    acc2 = cfg.g1.infinity()
+    for pt in pts:
+        acc2 = acc2 + pt * s0
+    assert native.msm(pts, [s0] * len(pts)) == acc2
+
+
+def test_native_spmat_apply():
+    from pcd_tpu.native import SpMatrices
+
+    F = M.mnt4_298().Fr
+    p = F.MODULUS
+    nvars = 40
+    z = [rng.randrange(p) for _ in range(nvars)]
+    rows = []
+    for _ in range(25):
+        def lc():
+            return {rng.randrange(nvars): rng.randrange(p)
+                    for _ in range(rng.randrange(1, 6))}
+        rows.append((lc(), lc(), lc()))
+    rows.append(({}, {0: 0}, {5: p - 1}))  # empty / zero-coeff rows
+    mats = SpMatrices(p, rows, nrows=30)   # trailing zero rows
+    az, bz, cz = mats.apply_all(z)
+    for j, (ra, rb, rc) in enumerate(rows):
+        assert az[j] == sum(co * z[col] for col, co in ra.items()) % p
+        assert bz[j] == sum(co * z[col] for col, co in rb.items()) % p
+        assert cz[j] == sum(co * z[col] for col, co in rc.items()) % p
+    assert az[len(rows):] == [0] * (30 - len(rows))
+
+
+def test_native_witness_replay_matches_python():
+    """C++ wprog replay vs the Python interpreter on a program using
+    mul/lc/bits/inv/iszero/inv0 recipes (cross-checked on fresh inputs,
+    not just the recorded ones)."""
+    from pcd_tpu.gadgets.fp import fpvar_class
+    from pcd_tpu.native import WProgNative
+    from pcd_tpu.r1cs.program import compile_witness_program
+    from pcd_tpu.r1cs.system import ConstraintSystem
+
+    F = M.mnt4_298().Fr
+    cs = ConstraintSystem(F)
+    V = fpvar_class(cs)
+    x = V.new_witness(123456789)
+    y = V.new_witness(987654321)
+    prod = x * y
+    inv = prod.inv()
+    (prod * inv).enforce_equal(V.constant(1))
+    bits = x.to_bits_le(64)
+    z_flag = (x - y).is_zero()
+    acc = y
+    for b in bits[:5]:
+        acc = acc + b.fp
+    acc.enforce_equal(V.new_witness(acc.val))
+    prog = compile_witness_program(cs)  # self-check runs the native tier
+    nat = WProgNative.compile(prog)
+    assert nat is not None
+    # fresh external inputs: replay native vs Python interpreter
+    ext = [v * 3 + 1 for v in prog.record_ext]
+    got = nat.run(ext)
+    prog_native, prog._native = prog._native, None  # force Python
+    want = prog.run(ext)
+    prog._native = prog_native
+    assert got == want
