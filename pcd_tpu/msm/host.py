@@ -62,12 +62,13 @@ def msm(points, scalars):
     from ..native import EncodedPoints
 
     if isinstance(points, EncodedPoints):
-        return _native().msm(points, [int(s) for s in scalars])
+        # scalars may already be a (n, NL) limb array (prover fast path)
+        return _native().msm(points, scalars)
     curve = points[0].curve
     if len(points) >= _NATIVE_MSM_MIN and _native_curve_ok(curve):
         native = _native()
         if native is not None:
-            return native.msm(points, [int(s) for s in scalars])
+            return native.msm(points, scalars)
     acc_total = curve.infinity()
     c = 4
     nbits = max((int(s).bit_length() for s in scalars), default=1) or 1

@@ -76,6 +76,9 @@ def _load():
     lib.pcd_geom_scale.restype = ctypes.c_int
     lib.pcd_geom_scale.argtypes = [ctypes.c_long, ctypes.c_long, u64p, u64p,
                                    u64p]
+    lib.pcd_hpoly.restype = ctypes.c_int
+    lib.pcd_hpoly.argtypes = [ctypes.c_long, ctypes.c_long, u64p, u64p,
+                              u64p, ctypes.c_long, u64p, u64p, u64p, u64p]
     lib.pcd_vec_op.restype = ctypes.c_int
     lib.pcd_vec_op.argtypes = [ctypes.c_long, ctypes.c_long, ctypes.c_int,
                                u64p, u64p, u64p]
@@ -245,7 +248,9 @@ def msm(points, scalars):
         xs, ys, inf = _points_to_arrays(points, deg)
         n = len(points)
     lib = _load()
-    sc = ints_to_limbs([int(s) for s in scalars])
+    sc = scalars_to_limbs(scalars)
+    if sc.shape[0] != n:
+        raise ValueError("MSM length mismatch")
     out_xy = np.zeros(2 * deg * NL, dtype="<u8")
     out_inf = np.zeros(1, dtype=np.uint8)
     rc = lib.pcd_msm(h, n, _u64p(xs), _u64p(ys), _u8p(inf),
@@ -421,18 +426,26 @@ class SpMatrices:
                 raise RuntimeError("pcd_spmat_new failed")
             self.handles.append(h)
 
-    def apply_all(self, z) -> tuple:
-        """(Az, Bz, Cz) as lists of canonical ints for a z of ints."""
+    def apply_all_limbs(self, z) -> tuple:
+        """(Az, Bz, Cz) as (nrows, NL) limb arrays; z may be an int list
+        or a pre-marshalled (nvars, NL) limb array.  Limb-in/limb-out is
+        the prover fast path — the quotient pipeline (hpoly) and the MSM
+        scalars consume the limbs directly, so production proves never
+        round-trip through Python ints."""
         lib = _load()
-        zl = ints_to_limbs([int(v) for v in z])
+        zl = scalars_to_limbs(z)
         outs = []
         for h in self.handles:
             out = np.zeros((self.nrows, NL), dtype="<u8")
-            rc = lib.pcd_spmat_apply(h, len(z), _u64p(zl), _u64p(out))
+            rc = lib.pcd_spmat_apply(h, zl.shape[0], _u64p(zl), _u64p(out))
             if rc != 0:
                 raise RuntimeError("pcd_spmat_apply failed")
-            outs.append(limbs_to_ints(out))
+            outs.append(out)
         return tuple(outs)
+
+    def apply_all(self, z) -> tuple:
+        """(Az, Bz, Cz) as lists of canonical ints for a z of ints."""
+        return tuple(limbs_to_ints(o) for o in self.apply_all_limbs(z))
 
 
 def ntt(modulus: int, omega: int, values, scale: int | None = None) -> list:
@@ -448,6 +461,58 @@ def ntt(modulus: int, omega: int, values, scale: int | None = None) -> list:
     if rc != 0:
         raise RuntimeError("pcd_ntt failed")
     return limbs_to_ints(out)
+
+
+def scalars_to_limbs(scalars) -> np.ndarray:
+    """Pre-marshal an int scalar vector for repeated native calls
+    (spmat apply / hpoly / msm all accept the limb form directly)."""
+    if isinstance(scalars, np.ndarray) and scalars.dtype == np.uint64:
+        return scalars
+    return ints_to_limbs([int(s) for s in scalars])
+
+
+def hpoly(modulus: int, omega: int, coset_g: int, zh_inv: int,
+          a, b, c, check_rows: int = 0) -> np.ndarray:
+    """Fused quotient pipeline h = coset_ifft((fft_coset(ifft(A)) *
+    fft_coset(ifft(B)) - fft_coset(ifft(C))) * zh_inv) in ONE native
+    call; a/b/c are (n, NL) u64 limb arrays (or int lists) of domain
+    evaluations; returns h as (n, NL) canonical limbs.  check_rows > 0
+    raises if A[j]*B[j] != C[j] for some j < check_rows (replayed-witness
+    satisfiability)."""
+    lib = _load()
+    h = field_handle(modulus)
+    al, bl, cl = (v if isinstance(v, np.ndarray) else scalars_to_limbs(v)
+                  for v in (a, b, c))
+    n = al.shape[0]
+    out = np.zeros((n, NL), dtype="<u8")
+    rc = lib.pcd_hpoly(
+        h, n, _u64p(ints_to_limbs([omega % modulus])),
+        _u64p(ints_to_limbs([coset_g % modulus])),
+        _u64p(ints_to_limbs([zh_inv % modulus])), check_rows,
+        _u64p(np.ascontiguousarray(al)), _u64p(np.ascontiguousarray(bl)),
+        _u64p(np.ascontiguousarray(cl)), _u64p(out))
+    if rc == -2:
+        raise ValueError("unsatisfied constraint (replayed witness)")
+    if rc != 0:
+        raise RuntimeError("pcd_hpoly failed")
+    return out
+
+
+def vec_op(modulus: int, op: str, a, b) -> np.ndarray:
+    """Elementwise (a op b) mod p over canonical (n, NL) limb arrays
+    (or int lists); op in {'add','sub','mul'}.  Returns limbs."""
+    lib = _load()
+    h = field_handle(modulus)
+    al = a if isinstance(a, np.ndarray) else scalars_to_limbs(a)
+    bl = b if isinstance(b, np.ndarray) else scalars_to_limbs(b)
+    n = al.shape[0]
+    out = np.zeros((n, NL), dtype="<u8")
+    code = {"add": 0, "sub": 1, "mul": 2}[op]
+    rc = lib.pcd_vec_op(h, n, code, _u64p(np.ascontiguousarray(al)),
+                        _u64p(np.ascontiguousarray(bl)), _u64p(out))
+    if rc != 0:
+        raise RuntimeError("pcd_vec_op failed")
+    return out
 
 
 def geom_scale(modulus: int, g: int, values) -> list:

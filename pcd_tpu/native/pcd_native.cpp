@@ -1343,3 +1343,186 @@ extern "C" int pcd_vec_op(long field_h, long n, int op, const u64 *a,
     }
     return 0;
 }
+
+// ------------------------------------------------------------ h-poly
+// Fused Groth16/GM17 quotient pipeline — ONE call covering what used to
+// be 7 pcd_ntt + 3 pcd_geom_scale + Python pointwise stages, each of
+// which paid a Python-int <-> limb marshalling round-trip at n=2^18:
+//   h = coset_ifft( (coset_fft(ifft(A)) . coset_fft(ifft(B))
+//                    - coset_fft(ifft(C))) * zh_inv )
+// A/B/C are the domain evaluations (canonical limbs).  Everything stays
+// in Montgomery form; the three independent ifft+scale+fft chains run in
+// parallel with a per-chain thread budget.  check_rows > 0 additionally
+// verifies A[j]*B[j] == C[j] for j < check_rows (the replayed-witness
+// satisfiability check) and returns -2 on violation.
+static void scaled_geom(const FieldCtx &C, const Fp *in, Fp *out, long n,
+                        const Fp &s0, const Fp &g, int threads) {
+    auto run = [&](long k0, long k1) {
+        Fp e = {{(u64)k0, 0, 0, 0, 0}};
+        Fp cur;
+        fp_pow(C, g, e, cur);
+        fp_mont_mul(C, cur, s0, cur);
+        for (long i = k0; i < k1; i++) {
+            fp_mont_mul(C, in[i], cur, out[i]);
+            fp_mont_mul(C, cur, g, cur);
+        }
+    };
+    if (threads > 1 && n >= 4096) {
+        std::vector<std::thread> ts;
+        long chunk = (n + threads - 1) / threads;
+        for (int t = 0; t < threads; t++) {
+            long k0 = t * chunk, k1 = std::min(n, k0 + chunk);
+            if (k0 < k1) ts.emplace_back(run, k0, k1);
+        }
+        for (auto &t : ts) t.join();
+    } else {
+        run(0, n);
+    }
+}
+
+extern "C" int pcd_hpoly(long field_h, long n, const u64 *omega,
+                         const u64 *coset_g, const u64 *zh_inv,
+                         long check_rows, const u64 *a, const u64 *b,
+                         const u64 *c, u64 *out) {
+    if (field_h < 0 || field_h >= (long)g_fields.size()) return -1;
+    const FieldCtx &C = *g_fields[field_h];
+    const int HW = hw_threads();
+
+    // plans: forward (omega) and inverse (omega^{-1} = omega^{n-i})
+    NTTPlan fwd, inv;
+    fwd.C = inv.C = &C;
+    fwd.n = inv.n = n;
+    {
+        Fp w;
+        std::memcpy(w.v, omega, NL * 8);
+        fp_to_mont(C, w, w);
+        fwd.wtab.resize(n);
+        fwd.wtab[0] = C.one_mont;
+        for (long i = 1; i < n; i++)
+            fp_mont_mul(C, fwd.wtab[i - 1], w, fwd.wtab[i]);
+        inv.wtab.resize(n);
+        inv.wtab[0] = C.one_mont;
+        for (long i = 1; i < n; i++) inv.wtab[i] = fwd.wtab[n - i];
+    }
+    Fp n_inv = {{(u64)n, 0, 0, 0, 0}};
+    fp_to_mont(C, n_inv, n_inv);
+    fp_inv(C, n_inv, n_inv);
+    Fp g, g_inv, zhi;
+    std::memcpy(g.v, coset_g, NL * 8);
+    fp_to_mont(C, g, g);
+    fp_inv(C, g, g_inv);
+    std::memcpy(zhi.v, zh_inv, NL * 8);
+    fp_to_mont(C, zhi, zhi);
+
+    // inputs -> Montgomery.  b == a is the SAP/GM17 squaring case
+    // (h = (A^2 - C)/Z_H): the B chain is skipped entirely.
+    const bool sq = (b == a);
+    std::vector<Fp> V[3];
+    const u64 *src[3] = {a, b, c};
+    {
+        std::vector<std::thread> ts;
+        for (int k = 0; k < 3; k++) {
+            if (sq && k == 1) continue;
+            V[k].resize(n);
+            ts.emplace_back([&, k]() {
+                for (long i = 0; i < n; i++) {
+                    Fp t;
+                    std::memcpy(t.v, src[k] + i * NL, NL * 8);
+                    fp_to_mont(C, t, V[k][i]);
+                }
+            });
+        }
+        for (auto &t : ts) t.join();
+    }
+
+    // replayed-witness satisfiability: A[j]*B[j] == C[j], j < check_rows
+    if (check_rows > 0) {
+        std::vector<std::thread> ts;
+        std::mutex mu;
+        bool bad = false;
+        long chunk = (check_rows + HW - 1) / HW;
+        for (int t = 0; t < HW; t++) {
+            long k0 = t * chunk, k1 = std::min(check_rows, k0 + chunk);
+            if (k0 >= k1) continue;
+            ts.emplace_back([&, k0, k1]() {
+                const std::vector<Fp> &B = sq ? V[0] : V[1];
+                for (long j = k0; j < k1; j++) {
+                    Fp ab;
+                    fp_mont_mul(C, V[0][j], B[j], ab);
+                    Fp d;
+                    fp_sub(C, ab, V[2][j], d);
+                    if (!fp_is_zero(d)) {
+                        std::lock_guard<std::mutex> lk(mu);
+                        bad = true;
+                        return;
+                    }
+                }
+            });
+        }
+        for (auto &t : ts) t.join();
+        if (bad) return -2;
+    }
+
+    // three independent ifft -> (n^{-1} g^i) scale -> fft chains
+    {
+        std::vector<std::thread> ts;
+        int sub = std::max(1, HW / (sq ? 2 : 3));
+        for (int k = 0; k < 3; k++) {
+            if (sq && k == 1) continue;
+            ts.emplace_back([&, k]() {
+                std::vector<Fp> tmp(n), scratch(n);
+                ntt_rec(inv, V[k].data(), tmp.data(), scratch.data(), n, 1,
+                        1, sub);
+                scaled_geom(C, tmp.data(), scratch.data(), n, n_inv, g,
+                            sub);
+                ntt_rec(fwd, scratch.data(), V[k].data(), tmp.data(), n, 1,
+                        1, sub);
+            });
+        }
+        for (auto &t : ts) t.join();
+    }
+
+    // pointwise (A.B - C) * zh_inv on the coset, into V[0]
+    {
+        std::vector<std::thread> ts;
+        long chunk = (n + HW - 1) / HW;
+        for (int t = 0; t < HW; t++) {
+            long k0 = t * chunk, k1 = std::min(n, k0 + chunk);
+            if (k0 >= k1) continue;
+            ts.emplace_back([&, k0, k1]() {
+                const std::vector<Fp> &B = sq ? V[0] : V[1];
+                for (long i = k0; i < k1; i++) {
+                    Fp ab;
+                    fp_mont_mul(C, V[0][i], B[i], ab);
+                    fp_sub(C, ab, V[2][i], ab);
+                    fp_mont_mul(C, ab, zhi, V[0][i]);
+                }
+            });
+        }
+        for (auto &t : ts) t.join();
+    }
+
+    // coset_ifft: inverse transform then n^{-1} g^{-i} scale, -> canonical
+    {
+        if (sq) V[1].resize(n);
+        std::vector<Fp> &tmp = V[1];
+        std::vector<Fp> &scratch = V[2];
+        ntt_rec(inv, V[0].data(), tmp.data(), scratch.data(), n, 1, 1, HW);
+        scaled_geom(C, tmp.data(), scratch.data(), n, n_inv, g_inv, HW);
+        std::vector<std::thread> ts;
+        long chunk = (n + HW - 1) / HW;
+        for (int t = 0; t < HW; t++) {
+            long k0 = t * chunk, k1 = std::min(n, k0 + chunk);
+            if (k0 >= k1) continue;
+            ts.emplace_back([&, k0, k1]() {
+                for (long i = k0; i < k1; i++) {
+                    Fp r;
+                    fp_from_mont(C, scratch[i], r);
+                    std::memcpy(out + i * NL, r.v, NL * 8);
+                }
+            });
+        }
+        for (auto &t : ts) t.join();
+    }
+    return 0;
+}

@@ -61,16 +61,19 @@ class MSMTensorCtx:
     def _unsigned_digits(self, scalars, nwin: int) -> np.ndarray:
         n = len(scalars)
         if self.c == 8:
-            # bytes ARE the digits: vectorized via the to_bytes fast path
+            # bytes ARE the digits: vectorized via the to_bytes fast path.
+            # Widen BEFORE transposing: astype on the C-contiguous array
+            # is a fast bulk pass, while ascontiguousarray of the strided
+            # transpose is an order of magnitude slower at 2^18.
             buf = b"".join(int(s).to_bytes(nwin, "little")
                            for s in scalars)
             arr = np.frombuffer(buf, dtype=np.uint8).reshape(n, nwin)
-            return np.ascontiguousarray(arr.T).astype(np.uint32)
+            return arr.astype(np.uint32).T.copy()
         if self.c == 16:
             buf = b"".join(int(s).to_bytes(2 * nwin, "little")
                            for s in scalars)
             arr = np.frombuffer(buf, dtype="<u2").reshape(n, nwin)
-            return np.ascontiguousarray(arr.T).astype(np.uint32)
+            return arr.astype(np.uint32).T.copy()
         out = np.zeros((nwin, n), dtype=np.uint32)
         mask = (1 << self.c) - 1
         for j, s in enumerate(scalars):

@@ -301,15 +301,35 @@ class ECCyclePCD:
 
     # -- input hash simulation (reference mod.rs:101-142: computed via the
     # gadgets on a scratch system so native/gadget byte layouts agree) ----
-    def _input_hash(self, crh_pp, help_vk, predicate, msg):
+    def _vk_hash_bytes(self, crh_pp, help_vk) -> bytes:
+        """H(help_vk) serialized — a pure function of (crh_pp, help_vk),
+        cached per instance: the gadget-layout vk serialization plus the
+        CRH over it cost ~1.2 s/prove at production scale and never
+        change between proves under the same key."""
+        cache = getattr(self, "_vkh_cache", None)
+        if cache is None:
+            cache = {}
+            self._vkh_cache = cache
+        # hold strong refs to the keyed objects so an id() is never reused
+        # by a different (freed) object while its entry is alive
+        key = (id(crh_pp), id(help_vk))
+        hit = cache.get(key)
+        if hit is not None:
+            return hit[2]
         ic = self.ic
         scratch = ConstraintSystem(ic.main_field)
-        V = fpvar_class(scratch)
         help_vk_g = ic.help_gadget.alloc_vk(scratch, help_vk, mode="witness")
-        committed_vk = bytes(b.value for b in ic.help_gadget.vk_to_bytes(help_vk_g))
+        committed_vk = bytes(b.value
+                             for b in ic.help_gadget.vk_to_bytes(help_vk_g))
         vk_hash = ic.crh.evaluate(crh_pp, committed_vk)
-        vk_hash_bytes = ic.crh.output_to_bytes(vk_hash)
+        out = ic.crh.output_to_bytes(vk_hash)
+        cache[key] = (crh_pp, help_vk, out)
+        return out
 
+    def _input_hash(self, crh_pp, help_vk, predicate, msg):
+        ic = self.ic
+        vk_hash_bytes = self._vk_hash_bytes(crh_pp, help_vk)
+        scratch = ConstraintSystem(ic.main_field)
         msg_g = predicate.new_message_var(scratch, msg)
         msg_bytes = bytes(b.value for b in predicate.message_var_to_bytes(msg_g))
         return ic.crh.evaluate(crh_pp, vk_hash_bytes + msg_bytes)

@@ -97,10 +97,13 @@ class GM17:
             # compile fine on XLA-CPU and the device tests rely on it)
             return True
         # auto: size dispatch, TPU only — XLA-CPU aborts compiling the
-        # production-size MSM/FFT scan graphs (msm_dispatch._device_ok)
-        from ..msm_dispatch import _device_ok
+        # production-size MSM/FFT scan graphs (msm_dispatch._device_ok).
+        # The native host tier wins outright when it can take the curves
+        # (see Groth16._use_device), so auto requires its absence.
+        from ..msm_dispatch import _device_ok, native_prove_ok
 
-        return n_rows >= self.DEVICE_THRESHOLD and _device_ok()
+        return (n_rows >= self.DEVICE_THRESHOLD and _device_ok()
+                and not native_prove_ok(self.cfg))
 
     def _use_device_keygen(self, n_rows: int) -> bool:
         """Key generation tier: in auto mode prefer the host C++ windowed
@@ -339,11 +342,49 @@ class GM17:
                 from ... import native as _nat
 
                 if _nat.available() and p.bit_length() <= 320:
+                    # limb fast path: CSR matvec, SAP eval construction
+                    # (vec_op elementwise), the fused squaring quotient
+                    # h = (A^2 - C)/Z_H (hpoly with b aliased to a) and
+                    # the MSM scalars all stay in limb form
+                    import numpy as np
+
                     mats = getattr(pk, "_host_mats", None)
                     if mats is None:
                         mats = _nat.SpMatrices(p, rows3, n_cons)
                         pk._host_mats = mats
-                    azs, bzs, czs = mats.apply_all(z)
+                    z_limbs = _nat.scalars_to_limbs(z)
+                    azl, bzl, czl = mats.apply_all_limbs(z_limbs)
+                    d = _nat.vec_op(p, "sub", azl, bzl)
+                    w = _nat.vec_op(p, "mul", d, d)
+                    apb = _nat.vec_op(p, "add", azl, bzl)
+                    cz2 = _nat.vec_op(p, "add", czl, czl)
+                    c0 = _nat.vec_op(p, "add",
+                                     _nat.vec_op(p, "add", cz2, cz2), w)
+                    zi = np.ascontiguousarray(z_limbs[:n_inst])
+                    zisq = _nat.vec_op(p, "mul", zi, zi) if n_inst else zi
+                    nl = z_limbs.shape[1]
+                    a_ev = np.zeros((domain.n, nl), dtype="<u8")
+                    c_ev = np.zeros((domain.n, nl), dtype="<u8")
+                    a_ev[0 : 2 * n_cons : 2] = apb
+                    a_ev[1 : 2 * n_cons : 2] = d
+                    a_ev[2 * n_cons : 2 * n_cons + n_inst] = zi
+                    c_ev[0 : 2 * n_cons : 2] = c0
+                    c_ev[1 : 2 * n_cons : 2] = w
+                    c_ev[2 * n_cons : 2 * n_cons + n_inst] = zisq
+                    zh_inv = pow(
+                        domain.vanishing_poly_at(domain.coset_shift), -1, p)
+                    try:
+                        # even SAP row check: A^2 - C = 4(Az.Bz - Cz)
+                        h_limbs = _nat.hpoly(
+                            p, domain.omega, domain.coset_shift, zh_inv,
+                            a_ev, a_ev, c_ev,
+                            check_rows=2 * n_cons if replayed else 0)
+                    except ValueError:
+                        raise SNARKError(
+                            "unsatisfied constraint (replayed witness)")
+                    h = h_limbs[: domain.n - 1]
+                    # SAP extension of the assignment (MSM scalars)
+                    z = np.concatenate([z_limbs, w, zisq])
                 else:
                     azs = [0] * n_cons
                     bzs = [0] * n_cons
@@ -355,34 +396,35 @@ class GM17:
                                      for col, co in rb.items()) % p
                         czs[j] = sum(co * z[col]
                                      for col, co in rc.items()) % p
-                if replayed:
+                    if replayed:
+                        for j in range(n_cons):
+                            if (azs[j] * bzs[j] - czs[j]) % p:
+                                raise SNARKError(
+                                    f"unsatisfied constraint #{j} (replayed)")
+                    a_ev = [0] * domain.n
+                    c_ev = [0] * domain.n
                     for j in range(n_cons):
-                        if (azs[j] * bzs[j] - czs[j]) % p:
-                            raise SNARKError(
-                                f"unsatisfied constraint #{j} (replayed)")
-                a_ev = [0] * domain.n
-                c_ev = [0] * domain.n
-                for j in range(n_cons):
-                    wj = (azs[j] - bzs[j]) ** 2 % p
-                    a_ev[2 * j] = (azs[j] + bzs[j]) % p
-                    a_ev[2 * j + 1] = (azs[j] - bzs[j]) % p
-                    c_ev[2 * j] = (4 * czs[j] + wj) % p
-                    c_ev[2 * j + 1] = wj
-                for i in range(n_inst):
-                    a_ev[2 * n_cons + i] = z[i]
-                    c_ev[2 * n_cons + i] = z[i] * z[i] % p
-                # SAP extension of the assignment
-                z = z + [(azs[j] - bzs[j]) ** 2 % p for j in range(n_cons)] \
-                    + [z[i] * z[i] % p for i in range(n_inst)]
-                a_poly = domain.ifft(a_ev)
-                c_poly = domain.ifft(c_ev)
-                a_cos = domain.coset_fft(a_poly)
-                c_cos = domain.coset_fft(c_poly)
-                zh_inv = pow(domain.vanishing_poly_at(domain.coset_shift),
-                             -1, p)
-                h_cos = [(a_cos[i] * a_cos[i] - c_cos[i]) % p * zh_inv % p
-                         for i in range(domain.n)]
-                h = domain.coset_ifft(h_cos)[: domain.n - 1]
+                        wj = (azs[j] - bzs[j]) ** 2 % p
+                        a_ev[2 * j] = (azs[j] + bzs[j]) % p
+                        a_ev[2 * j + 1] = (azs[j] - bzs[j]) % p
+                        c_ev[2 * j] = (4 * czs[j] + wj) % p
+                        c_ev[2 * j + 1] = wj
+                    for i in range(n_inst):
+                        a_ev[2 * n_cons + i] = z[i]
+                        c_ev[2 * n_cons + i] = z[i] * z[i] % p
+                    # SAP extension of the assignment
+                    z = z + [(azs[j] - bzs[j]) ** 2 % p
+                             for j in range(n_cons)] \
+                        + [z[i] * z[i] % p for i in range(n_inst)]
+                    a_poly = domain.ifft(a_ev)
+                    c_poly = domain.ifft(c_ev)
+                    a_cos = domain.coset_fft(a_poly)
+                    c_cos = domain.coset_fft(c_poly)
+                    zh_inv = pow(domain.vanishing_poly_at(domain.coset_shift),
+                                 -1, p)
+                    h_cos = [(a_cos[i] * a_cos[i] - c_cos[i]) % p
+                             * zh_inv % p for i in range(domain.n)]
+                    h = domain.coset_ifft(h_cos)[: domain.n - 1]
 
         r = rng.randrange(p)
 

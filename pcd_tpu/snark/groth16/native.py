@@ -94,10 +94,14 @@ class Groth16:
             # compile fine on XLA-CPU and the device tests rely on it)
             return True
         # auto: size dispatch, TPU only — XLA-CPU aborts compiling the
-        # production-size MSM/FFT scan graphs (msm_dispatch._device_ok)
-        from ..msm_dispatch import _device_ok
+        # production-size MSM/FFT scan graphs (msm_dispatch._device_ok).
+        # When the native host tier can take the curves it wins outright
+        # (warm IVC step 16.8 s host vs compile-dominated minutes on the
+        # device tier), so auto only routes to the device without it.
+        from ..msm_dispatch import _device_ok, native_prove_ok
 
-        return n >= self.DEVICE_THRESHOLD and _device_ok()
+        return (n >= self.DEVICE_THRESHOLD and _device_ok()
+                and not native_prove_ok(self.cfg))
 
     def _use_device_keygen(self, n: int) -> bool:
         """Key generation tier.  In auto mode the host C++ windowed
@@ -163,6 +167,12 @@ class Groth16:
             n = min(len(query), len(scalars))
             return self.msm(query.slice(0, n) if len(query) != n else query,
                             scalars[:n] if len(scalars) != n else scalars)
+        if isinstance(scalars, np.ndarray):
+            # limb fast-path scalars meeting a small plain-list query
+            # (tables under the native encode threshold stay lists)
+            from ...native import limbs_to_ints
+
+            scalars = limbs_to_ints(scalars)
         nz = [(pt, s) for pt, s in zip(query, scalars) if s]
         if not nz:
             return query[0].curve.infinity()
@@ -343,6 +353,7 @@ class Groth16:
 
         # h(x) = (A(x) B(x) - C(x)) / Z_H(x) via coset evaluation
         device = self._use_device(len(rows))
+        z_limbs = None
         with span("groth16/h_poly"):
             if device:
                 import jax.numpy as jnp
@@ -406,11 +417,28 @@ class Groth16:
                 from ... import native as _nat
 
                 if _nat.available() and p.bit_length() <= 320:
+                    # limb fast path: z is marshalled ONCE; the CSR
+                    # matvec, the fused quotient pipeline (7 NTTs +
+                    # pointwise in one native call) and the MSM scalars
+                    # all consume limbs — no Python-int round-trips
                     mats = getattr(pk, "_host_mats", None)
                     if mats is None:
                         mats = _nat.SpMatrices(p, rows, domain.n)
                         pk._host_mats = mats
-                    a_ev, b_ev, c_ev = mats.apply_all(z)
+                    z_limbs = _nat.scalars_to_limbs(z)
+                    a_l, b_l, c_l = mats.apply_all_limbs(z_limbs)
+                    zh_inv = pow(
+                        domain.vanishing_poly_at(domain.coset_shift),
+                        -1, p)
+                    try:
+                        h_limbs = _nat.hpoly(
+                            p, domain.omega, domain.coset_shift, zh_inv,
+                            a_l, b_l, c_l,
+                            check_rows=n_cons if replayed else 0)
+                    except ValueError:
+                        raise SNARKError(
+                            "unsatisfied constraint (replayed witness)")
+                    h = h_limbs[: domain.n - 1]
                 else:
                     a_ev = [0] * domain.n
                     b_ev = [0] * domain.n
@@ -422,27 +450,31 @@ class Groth16:
                                       for col, co in rb.items()) % p
                         c_ev[j] = sum(co * z[col]
                                       for col, co in rc.items()) % p
-                if replayed:
-                    for j in range(n_cons):
-                        if (a_ev[j] * b_ev[j] - c_ev[j]) % p:
-                            raise SNARKError(
-                                f"unsatisfied constraint #{j} (replayed)")
-                h = self._h_poly(domain, a_ev, b_ev, c_ev, False)
-        # degree of h is n-2; drop the top coefficient (must be ~0)
-        h = h[: domain.n - 1]
+                    if replayed:
+                        for j in range(n_cons):
+                            if (a_ev[j] * b_ev[j] - c_ev[j]) % p:
+                                raise SNARKError(
+                                    f"unsatisfied constraint #{j} (replayed)")
+                    h = self._h_poly(domain, a_ev, b_ev, c_ev, False)
+                    h = h[: domain.n - 1]
+        if device:
+            # degree of h is n-2; drop the top coefficient (must be ~0)
+            h = h[: domain.n - 1]
 
         r = rng.randrange(p)
         s = rng.randrange(p)
 
         with span("groth16/msm"):
-            return self._prove_commit(pk, n_inst, z, h, r, s)
+            return self._prove_commit(pk, n_inst, z, h, r, s,
+                                      z_limbs=z_limbs)
 
-    def _prove_commit(self, pk, n_inst, z, h, r, s):
+    def _prove_commit(self, pk, n_inst, z, h, r, s, z_limbs=None):
         from ..msm_dispatch import host_query
         from ...ops.fixed_base import DevicePointVec
 
         p = self.Fr.MODULUS
         z_digits = None
+        zq = z
         if isinstance(pk.a_query, DevicePointVec):
             import jax.numpy as jnp
 
@@ -451,21 +483,24 @@ class Groth16:
             mctx = msm_ctx_for(pk.a_query.curve, self.Fr.BITS,
                                len(pk.a_query))
             z_digits = jnp.asarray(mctx.digits_from_ints(z))
+        elif z_limbs is not None:
+            # pre-marshalled limbs shared by the a/b1/b2/l MSMs
+            zq = z_limbs
         with span("msm_a"):
             g_a = pk.vk.alpha_g1 \
-                + self._msm_any(host_query(pk, "a_query"), z, z_digits) \
+                + self._msm_any(host_query(pk, "a_query"), zq, z_digits) \
                 + pk.delta_g1 * r
         with span("msm_b2"):
             g_b2 = pk.vk.beta_g2 \
-                + self._msm_any(host_query(pk, "b_g2_query"), z, z_digits) \
+                + self._msm_any(host_query(pk, "b_g2_query"), zq, z_digits) \
                 + pk.vk.delta_g2 * s
         with span("msm_b1"):
             g_b1 = pk.beta_g1 \
-                + self._msm_any(host_query(pk, "b_g1_query"), z, z_digits) \
+                + self._msm_any(host_query(pk, "b_g1_query"), zq, z_digits) \
                 + pk.delta_g1 * s
 
         with span("msm_l"):
-            c_acc = self._msm_any(host_query(pk, "l_query"), z[n_inst:])
+            c_acc = self._msm_any(host_query(pk, "l_query"), zq[n_inst:])
         hq = host_query(pk, "h_query")
         from ...native import EncodedPoints
 
@@ -473,6 +508,12 @@ class Groth16:
             with span("msm_h"):
                 c_acc = c_acc + self._msm_any(hq, h)
         else:
+            import numpy as np
+
+            if isinstance(h, np.ndarray):
+                from ...native import limbs_to_ints
+
+                h = limbs_to_ints(h)
             nz = [(pt, co) for pt, co in zip(hq, h) if co]
             if nz:
                 with span("msm_h"):
