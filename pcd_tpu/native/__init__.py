@@ -210,7 +210,7 @@ class EncodedPoints:
     once per process instead of on every prove — at production sizes the
     per-call marshalling of a 2^18-point table costs more than the MSM."""
 
-    __slots__ = ("curve", "handle", "deg", "n", "xs", "ys", "inf")
+    __slots__ = ("curve", "handle", "deg", "n", "xs", "ys", "inf", "_nz")
 
     def __init__(self, curve, points):
         self.curve = curve
@@ -231,6 +231,32 @@ class EncodedPoints:
         out.n = out.xs.shape[0]
         return out
 
+    def nonzero_view(self):
+        """(filtered EncodedPoints, index array) dropping the points at
+        infinity, cached.  Groth16/GM17 a/b query tables are 20-35%
+        infinities at production scale (variables absent from a matrix),
+        and s*O contributes nothing — the MSM only needs the rest."""
+        cached = getattr(self, "_nz", None)
+        if cached is not None:
+            return cached
+        idx = np.nonzero(self.inf == 0)[0]
+        if idx.shape[0] == self.n:
+            out = (self, None)
+        else:
+            sub = object.__new__(EncodedPoints)
+            sub.curve, sub.handle, sub.deg = (self.curve, self.handle,
+                                              self.deg)
+            sub.xs = np.ascontiguousarray(self.xs[idx])
+            sub.ys = np.ascontiguousarray(self.ys[idx])
+            sub.inf = np.zeros(idx.shape[0], dtype=np.uint8)
+            sub.n = idx.shape[0]
+            out = (sub, idx)
+        try:
+            self._nz = out
+        except AttributeError:
+            pass
+        return out
+
 
 def encode_points(points) -> EncodedPoints:
     return EncodedPoints(points[0].curve, points)
@@ -240,6 +266,15 @@ def msm(points, scalars):
     """Native variable-base MSM; `points` is a host point list or an
     EncodedPoints table.  Returns a host point."""
     if isinstance(points, EncodedPoints):
+        sub, idx = points.nonzero_view()
+        if idx is not None:
+            if sub.n == 0:
+                return points.curve.infinity()
+            if isinstance(scalars, np.ndarray):
+                scalars = np.ascontiguousarray(scalars[idx])
+            else:
+                scalars = [scalars[i] for i in idx]
+            points = sub
         curve, h, deg = points.curve, points.handle, points.deg
         xs, ys, inf, n = points.xs, points.ys, points.inf, points.n
     else:

@@ -119,6 +119,47 @@ class EC32Ctx:
         self.a2_enc = enc_const(a2)
 
     # -- conversions ------------------------------------------------------
+    def encode_from_limbs(self, xs, ys, inf):
+        """Canonical u64 limb coordinate arrays (the native tier's
+        EncodedPoints layout: (n, NL) per coordinate, little-endian) ->
+        device-resident f32 Montgomery (X, Y, Z) arrays.  The byte view
+        of a u64 limb vector IS the 8-bit f32 limb vector, so the host
+        cost is two array casts; the Montgomery encode (one constant
+        multiply by R^2) runs on device."""
+        import jax
+
+        fp = self.fp
+        n = xs.shape[0]
+
+        def to_f32(a):
+            a = np.ascontiguousarray(a).view(np.uint8).reshape(n, -1)
+            a = a[:, : fp.kp].astype(np.float32)
+            if a.shape[1] < fp.kp:
+                a = np.pad(a, [(0, 0), (0, fp.kp - a.shape[1])])
+            return jnp.asarray(a)
+
+        r2 = np.zeros(fp.kp, dtype=np.float32)
+        r2[: fp.k] = ints_to_f32_limbs_np(
+            [pow(2, 2 * 8 * fp.k, fp.p)], fp.k)[0]
+        one = np.zeros(fp.kp, dtype=np.float32)
+        one[: fp.k] = fp.one_mont
+
+        @jax.jit
+        def mont_encode(Xc, Yc, fin):
+            c = jnp.broadcast_to(jnp.asarray(r2), Xc.shape)
+            X = fp.mul(Xc, c)
+            Y = fp.mul(Yc, c)
+            onev = jnp.broadcast_to(jnp.asarray(one), Xc.shape)
+            zero = jnp.zeros_like(X)
+            m = fin[:, None]
+            X = jnp.where(m, zero, X)
+            Y = jnp.where(m, onev, Y)
+            Z = jnp.where(m, zero, onev)
+            return X, Y, Z
+
+        return mont_encode(to_f32(xs), to_f32(ys),
+                           jnp.asarray(np.asarray(inf, dtype=bool)))
+
     def encode_points(self, pts):
         fp = self.fp
         n = len(pts)

@@ -82,15 +82,10 @@ class MSMTensorCtx:
                 out[w, j] = (s >> (w * self.c)) & mask
         return out
 
-    def digits_from_ints(self, scalars) -> np.ndarray:
-        """(nwin, n) uint32 window digits, LSB window first.  In signed
-        mode each digit is |d| with the sign in bit 31 and |d| <= 2^(c-1)
-        (the kernel negates gathered points instead of doubling the bucket
-        count)."""
-        if not self.signed:
-            return self._unsigned_digits(scalars, self.nwin)
+    def _signed_recode(self, raw: np.ndarray) -> np.ndarray:
+        """(nwin-1, n) unsigned int64 window digits -> (nwin, n) signed
+        uint32 digits (|d| <= 2^(c-1), sign in bit 31, carry window)."""
         base = self.nwin - 1
-        raw = self._unsigned_digits(scalars, base).astype(np.int64)
         half = 1 << (self.c - 1)
         full = 1 << self.c
         n = raw.shape[1]
@@ -105,6 +100,38 @@ class MSMTensorCtx:
                               d.astype(np.uint32))
         out[base] = carry.astype(np.uint32)
         return out
+
+    def digits_from_ints(self, scalars) -> np.ndarray:
+        """(nwin, n) uint32 window digits, LSB window first.  In signed
+        mode each digit is |d| with the sign in bit 31 and |d| <= 2^(c-1)
+        (the kernel negates gathered points instead of doubling the bucket
+        count)."""
+        if not self.signed:
+            return self._unsigned_digits(scalars, self.nwin)
+        raw = self._unsigned_digits(scalars, self.nwin - 1).astype(np.int64)
+        return self._signed_recode(raw)
+
+    def digits_from_limbs(self, limbs: np.ndarray) -> np.ndarray:
+        """(n, NL) u64 canonical limb scalars (the prover's native limb
+        form) -> (nwin, n) uint32 digits with NO Python-int round-trip:
+        the little-endian limb bytes ARE the unsigned windows."""
+        n = limbs.shape[0]
+        limbs = np.ascontiguousarray(limbs)
+        if self.c == 16:
+            arr = limbs.view("<u2").reshape(n, -1)
+        elif self.c == 8:
+            arr = limbs.view(np.uint8).reshape(n, -1)
+        else:
+            from ..native import limbs_to_ints
+
+            return self.digits_from_ints(limbs_to_ints(limbs))
+        nwin_u = self.nwin - 1 if self.signed else self.nwin
+        if arr.shape[1] < nwin_u:
+            arr = np.pad(arr, [(0, 0), (0, nwin_u - arr.shape[1])])
+        if not self.signed:
+            return arr[:, :nwin_u].astype(np.uint32).T.copy()
+        raw = arr[:, :nwin_u].astype(np.int64).T.copy()
+        return self._signed_recode(raw)
 
     def window_chunk(self, n: int) -> int:
         """Windows vmapped per scan step (also the alignment unit of the
@@ -242,16 +269,23 @@ class MSMTensorCtx:
             digits = jnp.pad(digits, [(0, 0), (0, m - n)])
         if self.backend == "f32":
             ws = self._window_sums_jit(P, digits)
-            wsn = tuple(np.asarray(c) for c in ws)
-            acc = self.curve.infinity()
-            for w in reversed(range(self.nwin)):
-                for _ in range(self.c):
-                    acc = acc.double()
-                acc = acc + self.ec.decode_point(
-                    tuple(c[w] for c in wsn))
-            return acc
+            return self.horner_from_window_sums(
+                tuple(np.asarray(c) for c in ws))
         out = self.msm_digits(P, digits)
         return self.ec.decode_point(tuple(np.asarray(c) for c in out))
+
+    def horner_from_window_sums(self, wsn):
+        """Host Horner combine of fetched window sums (nwin, ...) —
+        the tail of the f32 MSM, also used by the hybrid prover to
+        collect asynchronously-dispatched device window sums."""
+        import numpy as np
+
+        acc = self.curve.infinity()
+        for w in reversed(range(self.nwin)):
+            for _ in range(self.c):
+                acc = acc.double()
+            acc = acc + self.ec.decode_point(tuple(c[w] for c in wsn))
+        return acc
 
     def msm_digits_padded(self, P, digits):
         """Pad the point count to the next power of two (zero digits for the

@@ -204,6 +204,97 @@ class Groth16:
         h_cos = fctx.fp.mont_mul(prod, jnp.broadcast_to(zh, prod.shape))
         return fctx.decode(fctx.coset_ifft(h_cos))
 
+    # -- hybrid TPU+host MSM scheduling ---------------------------------
+    # The 4-core host tier and the TPU are independent execution units;
+    # the prove's five commitment MSMs are independent given (z, h).  In
+    # hybrid mode the G1 query MSMs (a, b1, l) are dispatched to the TPU
+    # asynchronously (f32 window-sum graphs queue on the device) while
+    # the host tier runs the quotient pipeline, the G2 MSM and the h
+    # MSM; the tiny window sums are fetched and Horner-combined after.
+    HYBRID_MIN = 1 << 17
+
+    def _hybrid_launch(self, pk, z_limbs, n_inst):
+        """Returns {name: window-sum futures} or None when the hybrid
+        path is unavailable (no TPU, small circuit, device-resident pk).
+
+        Opt-in via PCD_TPU_HYBRID=1: measured on this 4-core host the
+        tunnel transport saturates the CPUs while the device drains its
+        queue (msm_b2 2.4 s -> 7.3 s under contention), netting ~zero;
+        on hosts with >= 8 cores the overlap is a real win."""
+        import os
+
+        if os.environ.get("PCD_TPU_HYBRID", "0") != "1":
+            return None
+        if self.backend != "auto" or z_limbs is None:
+            return None
+        from ..msm_dispatch import _device_ok
+
+        if not _device_ok() or len(pk.a_query) < self.HYBRID_MIN:
+            return None
+        if self.cfg.g1.F.extension_degree_over_prime() != 1:
+            return None
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..msm_dispatch import host_query
+        from ...native import EncodedPoints
+        from ...ops.msm_tensor import msm_ctx_for
+
+        n = len(pk.a_query)
+        m = 1
+        while m < n:
+            m *= 2
+        mctx = msm_ctx_for(self.cfg.g1, self.Fr.BITS, m)
+        if mctx.backend != "f32":
+            return None
+        tables = getattr(pk, "_f32_queries", None)
+        if tables is None:
+            tables = {}
+            pk._f32_queries = tables
+
+        def table(nm):
+            vec = tables.get(nm)
+            if vec is None:
+                enc = host_query(pk, nm)
+                if not isinstance(enc, EncodedPoints):
+                    return None
+                X, Y, Z = mctx.ec.encode_from_limbs(enc.xs, enc.ys,
+                                                    enc.inf)
+                pad = m - X.shape[0]
+                if pad:
+                    # zero rows pair with zero digits -> dropped bucket
+                    X, Y, Z = (jnp.pad(c, [(0, pad), (0, 0)])
+                               for c in (X, Y, Z))
+                vec = (X, Y, Z)
+                tables[nm] = vec
+            return vec
+
+        with span("hybrid_dispatch"):
+            dz = mctx.digits_from_limbs(z_limbs)
+            nwin = dz.shape[0]
+            futs = {"_mctx": mctx}
+            for nm, col0 in (("a_query", 0), ("b_g1_query", 0),
+                             ("l_query", n_inst)):
+                vec = table(nm)
+                if vec is None:
+                    continue
+                qn = len(getattr(pk, nm))
+                d = dz[:, col0 : col0 + qn]
+                if d.shape[1] < m:
+                    d = np.pad(d, [(0, 0), (0, m - d.shape[1])])
+                futs[nm] = mctx._window_sums_jit(vec, jnp.asarray(d))
+        return futs
+
+    @staticmethod
+    def _hybrid_collect(futs, nm):
+        """Block on one dispatched MSM and Horner-combine on host."""
+        import numpy as np
+
+        ws = futs[nm]
+        mctx = futs["_mctx"]
+        return mctx.horner_from_window_sums(
+            tuple(np.asarray(c) for c in ws))
+
     # ------------------------------------------------------------------
     def _synthesize(self, circuit) -> ConstraintSystem:
         cs = ConstraintSystem(self.Fr)
@@ -354,6 +445,7 @@ class Groth16:
         # h(x) = (A(x) B(x) - C(x)) / Z_H(x) via coset evaluation
         device = self._use_device(len(rows))
         z_limbs = None
+        hybrid = None
         with span("groth16/h_poly"):
             if device:
                 import jax.numpy as jnp
@@ -423,18 +515,26 @@ class Groth16:
                     # all consume limbs — no Python-int round-trips
                     mats = getattr(pk, "_host_mats", None)
                     if mats is None:
-                        mats = _nat.SpMatrices(p, rows, domain.n)
+                        with span("csr_build"):
+                            mats = _nat.SpMatrices(p, rows, domain.n)
                         pk._host_mats = mats
-                    z_limbs = _nat.scalars_to_limbs(z)
-                    a_l, b_l, c_l = mats.apply_all_limbs(z_limbs)
+                    with span("z_marshal"):
+                        z_limbs = _nat.scalars_to_limbs(z)
+                    # dispatch the G1 query MSMs to the TPU NOW — they
+                    # only need z; the device drains its queue while the
+                    # host runs matvec + the quotient pipeline
+                    hybrid = self._hybrid_launch(pk, z_limbs, n_inst)
+                    with span("matvec"):
+                        a_l, b_l, c_l = mats.apply_all_limbs(z_limbs)
                     zh_inv = pow(
                         domain.vanishing_poly_at(domain.coset_shift),
                         -1, p)
                     try:
-                        h_limbs = _nat.hpoly(
-                            p, domain.omega, domain.coset_shift, zh_inv,
-                            a_l, b_l, c_l,
-                            check_rows=n_cons if replayed else 0)
+                        with span("hpoly"):
+                            h_limbs = _nat.hpoly(
+                                p, domain.omega, domain.coset_shift, zh_inv,
+                                a_l, b_l, c_l,
+                                check_rows=n_cons if replayed else 0)
                     except ValueError:
                         raise SNARKError(
                             "unsatisfied constraint (replayed witness)")
@@ -466,9 +566,10 @@ class Groth16:
 
         with span("groth16/msm"):
             return self._prove_commit(pk, n_inst, z, h, r, s,
-                                      z_limbs=z_limbs)
+                                      z_limbs=z_limbs, hybrid=hybrid)
 
-    def _prove_commit(self, pk, n_inst, z, h, r, s, z_limbs=None):
+    def _prove_commit(self, pk, n_inst, z, h, r, s, z_limbs=None,
+                      hybrid=None):
         from ..msm_dispatch import host_query
         from ...ops.fixed_base import DevicePointVec
 
@@ -486,27 +587,28 @@ class Groth16:
         elif z_limbs is not None:
             # pre-marshalled limbs shared by the a/b1/b2/l MSMs
             zq = z_limbs
-        with span("msm_a"):
-            g_a = pk.vk.alpha_g1 \
-                + self._msm_any(host_query(pk, "a_query"), zq, z_digits) \
-                + pk.delta_g1 * r
-        with span("msm_b2"):
-            g_b2 = pk.vk.beta_g2 \
-                + self._msm_any(host_query(pk, "b_g2_query"), zq, z_digits) \
-                + pk.vk.delta_g2 * s
-        with span("msm_b1"):
-            g_b1 = pk.beta_g1 \
-                + self._msm_any(host_query(pk, "b_g1_query"), zq, z_digits) \
-                + pk.delta_g1 * s
 
-        with span("msm_l"):
-            c_acc = self._msm_any(host_query(pk, "l_query"), zq[n_inst:])
+        def msm_q(name, scalars, spn, digits=None):
+            if hybrid is not None and name in hybrid:
+                with span(spn + "_tpu"):
+                    return self._hybrid_collect(hybrid, name)
+            with span(spn):
+                return self._msm_any(host_query(pk, name), scalars, digits)
+
+        # Host-side MSMs run FIRST: in hybrid mode the TPU is still
+        # draining its a/b1/l window-sum queue while the host tier runs
+        # the G2 and h MSMs; the collects below then block only on
+        # whatever the device hasn't finished.
+        # z_digits only pairs with the FULL z vector (a/b1/b2); l_query's
+        # scalars are z[n_inst:], whose digits do not align
+        mb2 = msm_q("b_g2_query", zq, "msm_b2", z_digits)
         hq = host_query(pk, "h_query")
         from ...native import EncodedPoints
 
+        mh = None
         if isinstance(hq, (DevicePointVec, EncodedPoints)):
             with span("msm_h"):
-                c_acc = c_acc + self._msm_any(hq, h)
+                mh = self._msm_any(hq, h)
         else:
             import numpy as np
 
@@ -517,8 +619,15 @@ class Groth16:
             nz = [(pt, co) for pt, co in zip(hq, h) if co]
             if nz:
                 with span("msm_h"):
-                    c_acc = c_acc + self.msm([a for a, _ in nz],
-                                             [b for _, b in nz])
+                    mh = self.msm([a for a, _ in nz], [b for _, b in nz])
+        ma = msm_q("a_query", zq, "msm_a", z_digits)
+        mb1 = msm_q("b_g1_query", zq, "msm_b1", z_digits)
+        ml = msm_q("l_query", zq[n_inst:], "msm_l")
+
+        g_a = pk.vk.alpha_g1 + ma + pk.delta_g1 * r
+        g_b2 = pk.vk.beta_g2 + mb2 + pk.vk.delta_g2 * s
+        g_b1 = pk.beta_g1 + mb1 + pk.delta_g1 * s
+        c_acc = ml if mh is None else ml + mh
         g_c = c_acc + g_a * s + g_b1 * r - pk.delta_g1 * (r * s % p)
 
         return Groth16Proof(a=g_a, b=g_b2, c=g_c)
