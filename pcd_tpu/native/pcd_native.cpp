@@ -1325,21 +1325,35 @@ extern "C" int pcd_vec_op(long field_h, long n, int op, const u64 *a,
                           const u64 *b, u64 *out) {
     if (field_h < 0 || field_h >= (long)g_fields.size()) return -1;
     const FieldCtx &C = *g_fields[field_h];
-    for (long i = 0; i < n; i++) {
-        Fp x, y, r;
-        std::memcpy(x.v, a + i * NL, NL * 8);
-        std::memcpy(y.v, b + i * NL, NL * 8);
-        if (op == 0) {
-            fp_add(C, x, y, r);
-        } else if (op == 1) {
-            fp_sub(C, x, y, r);
-        } else {
-            fp_to_mont(C, x, x);
-            fp_to_mont(C, y, y);
-            fp_mont_mul(C, x, y, r);
-            fp_from_mont(C, r, r);
+    auto run = [&](long i0, long i1) {
+        for (long i = i0; i < i1; i++) {
+            Fp x, y, r;
+            std::memcpy(x.v, a + i * NL, NL * 8);
+            std::memcpy(y.v, b + i * NL, NL * 8);
+            if (op == 0) {
+                fp_add(C, x, y, r);
+            } else if (op == 1) {
+                fp_sub(C, x, y, r);
+            } else {
+                fp_to_mont(C, x, x);
+                fp_to_mont(C, y, y);
+                fp_mont_mul(C, x, y, r);
+                fp_from_mont(C, r, r);
+            }
+            std::memcpy(out + i * NL, r.v, NL * 8);
         }
-        std::memcpy(out + i * NL, r.v, NL * 8);
+    };
+    int HW = hw_threads();
+    if (n >= 16384 && HW > 1) {
+        std::vector<std::thread> ts;
+        long chunk = (n + HW - 1) / HW;
+        for (int t = 0; t < HW; t++) {
+            long i0 = t * chunk, i1 = std::min(n, i0 + chunk);
+            if (i0 < i1) ts.emplace_back(run, i0, i1);
+        }
+        for (auto &t : ts) t.join();
+    } else {
+        run(0, n);
     }
     return 0;
 }
@@ -1388,21 +1402,60 @@ extern "C" int pcd_hpoly(long field_h, long n, const u64 *omega,
     const FieldCtx &C = *g_fields[field_h];
     const int HW = hw_threads();
 
-    // plans: forward (omega) and inverse (omega^{-1} = omega^{n-i})
+    // plans: forward (omega) and inverse (omega^{-1} = omega^{n-i});
+    // twiddle tables cached across calls (4 hpoly calls per IVC step
+    // share the same two domains)
+    static std::mutex plan_mu;
+    struct HPlan {
+        long field_h;
+        long n;
+        Fp omega;
+        std::vector<Fp> fwd, inv;
+    };
+    static std::vector<HPlan *> plans;
     NTTPlan fwd, inv;
     fwd.C = inv.C = &C;
     fwd.n = inv.n = n;
     {
-        Fp w;
-        std::memcpy(w.v, omega, NL * 8);
-        fp_to_mont(C, w, w);
-        fwd.wtab.resize(n);
-        fwd.wtab[0] = C.one_mont;
-        for (long i = 1; i < n; i++)
-            fp_mont_mul(C, fwd.wtab[i - 1], w, fwd.wtab[i]);
-        inv.wtab.resize(n);
-        inv.wtab[0] = C.one_mont;
-        for (long i = 1; i < n; i++) inv.wtab[i] = fwd.wtab[n - i];
+        Fp w_canon;
+        std::memcpy(w_canon.v, omega, NL * 8);
+        bool found = false;
+        {
+            // copy under the lock: eviction may free a plan another
+            // caller is still reading otherwise
+            std::lock_guard<std::mutex> lk(plan_mu);
+            for (auto *pl : plans)
+                if (pl->field_h == field_h && pl->n == n &&
+                    fp_cmp(pl->omega, w_canon) == 0) {
+                    fwd.wtab = pl->fwd;
+                    inv.wtab = pl->inv;
+                    found = true;
+                    break;
+                }
+        }
+        if (!found) {
+            Fp w;
+            fp_to_mont(C, w_canon, w);
+            fwd.wtab.resize(n);
+            fwd.wtab[0] = C.one_mont;
+            for (long i = 1; i < n; i++)
+                fp_mont_mul(C, fwd.wtab[i - 1], w, fwd.wtab[i]);
+            inv.wtab.resize(n);
+            inv.wtab[0] = C.one_mont;
+            for (long i = 1; i < n; i++) inv.wtab[i] = fwd.wtab[n - i];
+            HPlan *pl = new HPlan;
+            pl->field_h = field_h;
+            pl->n = n;
+            pl->omega = w_canon;
+            pl->fwd = fwd.wtab;
+            pl->inv = inv.wtab;
+            std::lock_guard<std::mutex> lk(plan_mu);
+            plans.push_back(pl);
+            if (plans.size() > 16) {
+                delete plans.front();
+                plans.erase(plans.begin());
+            }
+        }
     }
     Fp n_inv = {{(u64)n, 0, 0, 0, 0}};
     fp_to_mont(C, n_inv, n_inv);
