@@ -266,6 +266,8 @@ def msm(points, scalars):
     """Native variable-base MSM; `points` is a host point list or an
     EncodedPoints table.  Returns a host point."""
     if isinstance(points, EncodedPoints):
+        if len(scalars) != points.n:
+            raise ValueError("MSM length mismatch")
         sub, idx = points.nonzero_view()
         if idx is not None:
             if sub.n == 0:
@@ -502,7 +504,11 @@ def scalars_to_limbs(scalars) -> np.ndarray:
     """Pre-marshal an int scalar vector for repeated native calls
     (spmat apply / hpoly / msm all accept the limb form directly)."""
     if isinstance(scalars, np.ndarray) and scalars.dtype == np.uint64:
-        return scalars
+        arr = np.ascontiguousarray(scalars)
+        if arr.ndim != 2 or arr.shape[1] != NL:
+            raise ValueError(
+                f"limb scalars must be (n, {NL}) u64, got {arr.shape}")
+        return arr
     return ints_to_limbs([int(s) for s in scalars])
 
 
@@ -519,6 +525,8 @@ def hpoly(modulus: int, omega: int, coset_g: int, zh_inv: int,
     al, bl, cl = (v if isinstance(v, np.ndarray) else scalars_to_limbs(v)
                   for v in (a, b, c))
     n = al.shape[0]
+    if bl.shape[0] != n or cl.shape[0] != n:
+        raise ValueError("hpoly: a/b/c row counts differ")
     out = np.zeros((n, NL), dtype="<u8")
     rc = lib.pcd_hpoly(
         h, n, _u64p(ints_to_limbs([omega % modulus])),

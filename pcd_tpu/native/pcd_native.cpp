@@ -26,6 +26,7 @@
 #include <mutex>
 #include <thread>
 #include <algorithm>
+#include <memory>
 
 static int hw_threads() {
     unsigned n = std::thread::hardware_concurrency();
@@ -957,7 +958,10 @@ extern "C" int pcd_fixed_base(long curve_h, const u64 *base_xy, int max_bits,
 // outputs (pass n^{-1} with omega^{-1} for the inverse transform).
 struct NTTPlan {
     const FieldCtx *C;
-    std::vector<Fp> wtab; // omega^i, Montgomery, i < n
+    // omega^i, Montgomery, i < n.  Shared (not copied) so cached hpoly
+    // plans hand tables to concurrent provers without ~20 MB memcpys
+    // under the plan mutex; eviction stays safe via refcounting.
+    std::shared_ptr<const std::vector<Fp>> wtab;
     long n;
 };
 
@@ -996,10 +1000,11 @@ static void ntt_rec(const NTTPlan &P, const Fp *in, Fp *out, Fp *scratch,
     auto combine = [&](long k0, long k1) {
         for (long k = k0; k < k1; k++) {
             Fp acc = out[k % m]; // j2 = 0 term (weight w^0)
+            const std::vector<Fp> &wtab = *P.wtab;
             for (long j2 = 1; j2 < f; j2++) {
                 long e = ((wstep * j2 % N) * (k % N)) % N;
                 Fp t;
-                fp_mont_mul(C, P.wtab[e], out[j2 * m + (k % m)], t);
+                fp_mont_mul(C, wtab[e], out[j2 * m + (k % m)], t);
                 fp_add(C, acc, t, acc);
             }
             scratch[k] = acc;
@@ -1029,9 +1034,11 @@ extern "C" int pcd_ntt(long field_h, long n, const u64 *omega, const u64 *x,
     Fp w;
     std::memcpy(w.v, omega, NL * 8);
     fp_to_mont(C, w, w);
-    P.wtab.resize(n);
-    P.wtab[0] = C.one_mont;
-    for (long i = 1; i < n; i++) fp_mont_mul(C, P.wtab[i - 1], w, P.wtab[i]);
+    auto wtab = std::make_shared<std::vector<Fp>>(n);
+    (*wtab)[0] = C.one_mont;
+    for (long i = 1; i < n; i++)
+        fp_mont_mul(C, (*wtab)[i - 1], w, (*wtab)[i]);
+    P.wtab = wtab;
     std::vector<Fp> scratch(n);
     std::vector<Fp> xin(n), xout(n);
     for (long i = 0; i < n; i++) {
@@ -1410,9 +1417,9 @@ extern "C" int pcd_hpoly(long field_h, long n, const u64 *omega,
         long field_h;
         long n;
         Fp omega;
-        std::vector<Fp> fwd, inv;
+        std::shared_ptr<std::vector<Fp>> fwd, inv;
     };
-    static std::vector<HPlan *> plans;
+    static std::vector<std::shared_ptr<HPlan>> plans;
     NTTPlan fwd, inv;
     fwd.C = inv.C = &C;
     fwd.n = inv.n = n;
@@ -1421,10 +1428,10 @@ extern "C" int pcd_hpoly(long field_h, long n, const u64 *omega,
         std::memcpy(w_canon.v, omega, NL * 8);
         bool found = false;
         {
-            // copy under the lock: eviction may free a plan another
-            // caller is still reading otherwise
+            // only the shared_ptr is copied under the lock; eviction is
+            // refcount-safe and concurrent provers share one table
             std::lock_guard<std::mutex> lk(plan_mu);
-            for (auto *pl : plans)
+            for (const auto &pl : plans)
                 if (pl->field_h == field_h && pl->n == n &&
                     fp_cmp(pl->omega, w_canon) == 0) {
                     fwd.wtab = pl->fwd;
@@ -1436,25 +1443,24 @@ extern "C" int pcd_hpoly(long field_h, long n, const u64 *omega,
         if (!found) {
             Fp w;
             fp_to_mont(C, w_canon, w);
-            fwd.wtab.resize(n);
-            fwd.wtab[0] = C.one_mont;
+            auto ftab = std::make_shared<std::vector<Fp>>(n);
+            (*ftab)[0] = C.one_mont;
             for (long i = 1; i < n; i++)
-                fp_mont_mul(C, fwd.wtab[i - 1], w, fwd.wtab[i]);
-            inv.wtab.resize(n);
-            inv.wtab[0] = C.one_mont;
-            for (long i = 1; i < n; i++) inv.wtab[i] = fwd.wtab[n - i];
-            HPlan *pl = new HPlan;
+                fp_mont_mul(C, (*ftab)[i - 1], w, (*ftab)[i]);
+            auto itab = std::make_shared<std::vector<Fp>>(n);
+            (*itab)[0] = C.one_mont;
+            for (long i = 1; i < n; i++) (*itab)[i] = (*ftab)[n - i];
+            fwd.wtab = ftab;
+            inv.wtab = itab;
+            auto pl = std::make_shared<HPlan>();
             pl->field_h = field_h;
             pl->n = n;
             pl->omega = w_canon;
-            pl->fwd = fwd.wtab;
-            pl->inv = inv.wtab;
+            pl->fwd = ftab;
+            pl->inv = itab;
             std::lock_guard<std::mutex> lk(plan_mu);
             plans.push_back(pl);
-            if (plans.size() > 16) {
-                delete plans.front();
-                plans.erase(plans.begin());
-            }
+            if (plans.size() > 16) plans.erase(plans.begin());
         }
     }
     Fp n_inv = {{(u64)n, 0, 0, 0, 0}};

@@ -92,6 +92,108 @@ def _rcb_addT(fp: Fp32Ctx, consts, fld, P, Q):
     return X3o, Y3, Z3o
 
 
+class _MaddSpec:
+    """Constant-multiply strategy + lazy-class offsets for the mixed-add
+    (Z2=1) kernel.  Small curve constants (MNT4 a=2, MNT6 a=11) multiply
+    on the VPU as exact f32 scalar products; large ones (b3, MNT6 a^2)
+    ride the MXU as Montgomery Toeplitz matmuls (output ~p).  Offsets are
+    sized from the resulting worst-case value bounds (in units of p) and
+    the whole envelope is asserted < 110p (the f32 class limit is 117p)."""
+
+    SMALL_MAX = 11
+
+    def __init__(self, fp, a_int: int, b3_int: int, a2_int: int):
+        self.fp = fp
+
+        def plan(v):
+            if 0 <= v <= self.SMALL_MAX:
+                return ("s", float(v), None)
+            cm = v * fp.R % fp.p
+            return ("m", None, fp.const_toeplitz_T(cm))
+
+        self.a = plan(a_int)
+        self.b3 = plan(b3_int)
+        self.a2 = plan(a2_int)
+        # value bounds in units of p: acc coords <= 6, table coords < 1,
+        # sign-negated Y < 4, mul outputs <= 2, cmul 'm' outputs <= 2
+        ACC = 6.0
+        T4 = 2.0 + ACC                       # mul(X2,Z1) + X1
+
+        def cbound(spec, x):
+            return spec[1] * x if spec[0] == "s" else 2.0
+
+        zp = cbound(self.a, T4) + cbound(self.b3, ACC)
+        self.offX3 = self._pick_off(zp)
+        x3 = 2.0 + self.offX3
+        z3 = 2.0 + zp
+        t2n_sub = cbound(self.a2, ACC)
+        self.offT2n = self._pick_off(t2n_sub)
+        t2n = cbound(self.a, 2.0) + self.offT2n
+        t4n = cbound(self.b3, T4) + t2n
+        t1n = 6.0 + cbound(self.a, ACC)
+        for v in (x3, z3, t4n, t1n, T4, zp + 2.0):
+            assert v < 110.0, f"madd lazy-class bound exceeded: {v}p"
+        # Montgomery wide-product bound: X3*Z3 is the largest product
+        assert x3 * z3 < 110.0 * 110.0
+
+    @staticmethod
+    def _pick_off(bound: float) -> int:
+        for m in (4, 32, 96):
+            if m >= bound + 2.0:
+                return m
+        raise AssertionError(f"no offset covers {bound}p")
+
+
+def _rcb_maddT(fp: Fp32Ctx, spec: _MaddSpec, carr, fld, P, Q,
+               sign_row, act_row):
+    """Complete MIXED addition (RCB15, Z2=1) in the transposed layout:
+    acc P = (X1,Y1,Z1) projective (K,B), Q = (X2,Y2) affine table coords,
+    sign_row/act_row (1,B) f32 flags.  Returns the masked-select new acc.
+    carr: {'offX3','offT2n': (K,B) rows, 'a'/'b3'/'a2': Toeplitz arrays
+    for the matmul-planned constants}; fld = (N0T, P0T, off4)."""
+    N0T, P0T, off4 = fld
+    X1, Y1, Z1 = P
+    X2, Y2 = Q
+
+    def mul(a, b):
+        return fp.mulT(a, b, N0T, P0T)
+
+    def cmul(which, x):
+        sp = getattr(spec, which)
+        if sp[0] == "s":
+            return fp.smulT(sp[1], x)
+        return fp.cmulT(carr[which], x, N0T, P0T)
+
+    add = fp.addT
+
+    def sub4(a, b):
+        return fp.subT(a, b, off4)
+
+    # signed digit: gathered point negated in-kernel (y -> 4p - y)
+    Y2n = fp.settleT(off4 - Y2, rounds=2)
+    Y2 = jnp.where(sign_row > 0, Y2n, Y2)
+
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t3 = sub4(sub4(mul(add(X1, Y1), add(X2, Y2)), t0), t1)
+    t4 = add(mul(X2, Z1), X1)
+    t5 = add(mul(Y2, Z1), Y1)
+    Zp = add(cmul("a", t4), cmul("b3", Z1))
+    X3 = fp.settleT(t1 - Zp + carr["offX3"], rounds=2)
+    Z3 = add(t1, Zp)
+    Y3 = mul(X3, Z3)
+    t1n = add(add(add(t0, t0), t0), cmul("a", Z1))
+    t2n = fp.settleT(cmul("a", t0) - cmul("a2", Z1) + carr["offT2n"],
+                     rounds=2)
+    t4n = add(cmul("b3", t4), t2n)
+    Y3 = add(Y3, mul(t1n, t4n))
+    X3o = sub4(mul(t3, X3), mul(t5, t4n))
+    Z3o = add(mul(t5, Z3), mul(t3, t1n))
+    act = act_row > 0
+    return (jnp.where(act, X3o, X1), jnp.where(act, Y3, Y1),
+            jnp.where(act, Z3o, Z1))
+
+
 class EC32Ctx:
     """Curve context on the f32 path (prime-field coordinates only: G1)."""
 
@@ -117,6 +219,8 @@ class EC32Ctx:
         self.b3_enc = enc_const(b3)
         a2 = curve.a * curve.a
         self.a2_enc = enc_const(a2)
+        self.madd_spec = _MaddSpec(fp, int(curve.a.n), int(b3.n),
+                                   int(a2.n))
 
     # -- conversions ------------------------------------------------------
     def encode_from_limbs(self, xs, ys, inf):
@@ -302,6 +406,114 @@ class EC32Ctx:
             out_shape=out_shape,
         )
         return tuple(fn(*P, *Q, N0, P0, off, ac, b3c, a2c))
+
+    # -- mixed addition (stream-MSM hot loop) ------------------------------
+    MADD_BLOCK = 256
+
+    def madd(self, P, Q, sign, active):
+        """acc (X,Y,Z) (n,KP) += affine table points (X2,Y2) (n,KP), with
+        per-row sign (negate Q) and active (keep old acc) f32 flags.
+        Complete for acc = identity and acc = Q (doubling); Q must be a
+        FINITE point (the stream scheduler never gathers infinities).
+        Fused Pallas kernel on TPU; plain XLA elsewhere (tests)."""
+        n = P[0].shape[0]
+        sign = sign.reshape(n, 1).astype(jnp.float32)
+        active = active.reshape(n, 1).astype(jnp.float32)
+        if jax.default_backend() == "tpu":
+            B = self.MADD_BLOCK
+            m = -(-n // B) * B
+            if m != n:
+                P = tuple(jnp.pad(c, [(0, m - n), (0, 0)]) for c in P)
+                Q = tuple(jnp.pad(c, [(0, m - n), (0, 0)]) for c in Q)
+                sign = jnp.pad(sign, [(0, m - n), (0, 0)])
+                active = jnp.pad(active, [(0, m - n), (0, 0)])
+            out = self._madd_pallas_T(P, Q, sign, active)
+            if m != n:
+                out = tuple(c[:n] for c in out)
+            return out
+        fp = self.fp
+        fld = (jnp.asarray(fp.N0.T.copy(), dtype=jnp.bfloat16),
+               jnp.asarray(fp.P0.T.copy(), dtype=jnp.bfloat16),
+               jnp.asarray(fp.off4p().reshape(-1, 1)))
+        carr = self._madd_carr(rows=1)
+        R = _rcb_maddT(fp, self.madd_spec, carr, fld,
+                       tuple(c.T for c in P), tuple(c.T for c in Q),
+                       sign.T, active.T)
+        return tuple(c.T for c in R)
+
+    def _madd_carr(self, rows: int):
+        """Offset rows + Toeplitz matrices for _rcb_maddT; rows=1 for the
+        plain path, BLOCK for the Pallas path (pre-broadcast)."""
+        fp = self.fp
+        spec = self.madd_spec
+
+        def row(arr):
+            a = np.asarray(arr, dtype=np.float32).reshape(-1, 1)
+            if rows > 1:
+                a = np.broadcast_to(a, (a.shape[0], rows)).copy()
+            return jnp.asarray(a)
+
+        carr = {"offX3": row(fp.off_mult_p(spec.offX3)),
+                "offT2n": row(fp.off_mult_p(spec.offT2n))}
+        for nm in ("a", "b3", "a2"):
+            sp = getattr(spec, nm)
+            if sp[0] == "m":
+                carr[nm] = jnp.asarray(sp[2], dtype=jnp.bfloat16)
+        return carr
+
+    def _madd_pallas_T(self, P, Q, sign, active):
+        from jax.experimental import pallas as pl
+
+        fp = self.fp
+        n, kp = P[0].shape
+        B = self.MADD_BLOCK
+        N0T = jnp.asarray(fp.N0.T.copy(), dtype=jnp.bfloat16)
+        P0T = jnp.asarray(fp.P0.T.copy(), dtype=jnp.bfloat16)
+
+        def full(v):
+            return jnp.asarray(
+                np.broadcast_to(np.asarray(v, dtype=np.float32
+                                           ).reshape(-1, 1), (kp, B)).copy())
+
+        off4 = full(fp.off4p())
+        carr_full = self._madd_carr(rows=B)
+        mat_names = [nm for nm in ("a", "b3", "a2")
+                     if getattr(self.madd_spec, nm)[0] == "m"]
+        extra = ([carr_full["offX3"], carr_full["offT2n"]]
+                 + [carr_full[nm] for nm in mat_names])
+
+        def kernel(x1, y1, z1, x2, y2, sg, av, n0, p0, offr, *rest):
+            offx3, offt2n = rest[0], rest[1]
+            mats = rest[2 : 2 + len(mat_names)]
+            ox, oy, oz = rest[2 + len(mat_names):]
+            carr = {"offX3": offx3[:], "offT2n": offt2n[:]}
+            for nm, mref in zip(mat_names, mats):
+                carr[nm] = mref[:]
+            fld = (n0[:], p0[:], offr[:])
+            R = _rcb_maddT(fp, self.madd_spec, carr, fld,
+                           tuple(v[:].T for v in (x1, y1, z1)),
+                           tuple(v[:].T for v in (x2, y2)),
+                           sg[:].T, av[:].T)
+            ox[:], oy[:], oz[:] = (r.T for r in R)
+
+        spec = pl.BlockSpec((B, kp), lambda i: (i, 0))
+        flag = pl.BlockSpec((B, 1), lambda i: (i, 0))
+
+        def whole(arr):
+            return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim)
+
+        out_shape = [jax.ShapeDtypeStruct((n, kp), jnp.float32)] * 3
+        fn = pl.pallas_call(
+            kernel,
+            grid=(n // B,),
+            in_specs=[spec] * 5 + [flag, flag]
+            + [whole(N0T), whole(P0T), whole(off4)]
+            + [whole(c) for c in extra],
+            out_specs=[spec] * 3,
+            out_shape=out_shape,
+            input_output_aliases={0: 0, 1: 1, 2: 2},
+        )
+        return tuple(fn(*P, *Q, sign, active, N0T, P0T, off4, *extra))
 
     def double(self, P):
         return self.add(P, P)

@@ -308,6 +308,46 @@ class Fp32Ctx:
     def subT(self, a, b, off):
         return self.settleT(a - b + off, rounds=2)
 
+    # -- constant multiplication (stream-MSM mixed-add path) --------------
+    def const_toeplitz_T(self, c_mont: int) -> np.ndarray:
+        """(K2P, KP) f32 Toeplitz of a Montgomery-form constant:
+        wide = dot(CT, x) computes the schoolbook product c~ * x entirely
+        on the MXU (entries are 8-bit, bf16-exact) — one matmul replaces
+        the K-row shifted-FMA schoolbook for multiply-by-constant."""
+        limbs = _int_to_f32_limbs(c_mont, self.k)
+        CT = np.zeros((self.k2p, self.kp), dtype=np.float32)
+        for j in range(self.k):
+            for i in range(self.k):
+                CT[i + j, i] = limbs[j]
+        return CT
+
+    def cmulT(self, CT, x, N0T, P0T):
+        """Montgomery product by a constant via its Toeplitz matrix.
+        x is quasi-settled (K, B); inputs are re-settled to the strict
+        [-1, 256] class before the bf16 cast (bf16 is exact only there)."""
+        xs = self.settleT(x, rounds=2)
+        wide = jnp.dot(CT.astype(jnp.bfloat16) if CT.dtype != jnp.bfloat16
+                       else CT, xs.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        return self.redcT(self.settleT(wide), N0T, P0T)
+
+    def smulT(self, v: float, x):
+        """Multiply by a SMALL integer constant (<= ~2^11) on the VPU:
+        v * x~ = (v*x)~ — scalar multiply preserves the Montgomery
+        representative exactly in f32 for |limbs| <= 257."""
+        return self.settleT(x * v, rounds=2)
+
+    @lru_cache(maxsize=None)
+    def off_mult_p(self, mult: int) -> np.ndarray:
+        """(KP,) settled f32 limbs of mult*p — subtraction offsets for the
+        wider lazy-class values of the mixed-add path (mult in {4,32,96})."""
+        v = mult * self.p
+        k_need = (v.bit_length() + LB - 1) // LB
+        assert k_need <= self.kp
+        out = np.zeros(self.kp, dtype=np.float32)
+        out[:k_need] = _int_to_f32_limbs(v, k_need)
+        return out
+
 
 @lru_cache(maxsize=None)
 def fp32_ctx(modulus: int) -> Fp32Ctx:

@@ -1,0 +1,263 @@
+"""Stream MSM — the TPU-native Pippenger v2 (SURVEY.md D4; VERDICT r3
+next-round item 1: "replace the per-window argsort + log-n
+associative_scan of full EC adds with a sort-once layout / bucket
+accumulation with VMEM-resident state").
+
+Architecture (vs ops/msm_tensor.py, which sorts and scans ON DEVICE):
+the integer bookkeeping is host work, the field math is device work.
+
+  host (numpy; O(n) passes + one radix argsort per window):
+    1. signed c-bit digits from the canonical u64 limb scalars;
+    2. per window: counting sort by digit magnitude, then a PROPORTIONAL
+       lane allocation — each nonempty bucket gets ceil(count/T) of the
+       L accumulator lanes, so every lane sequentially folds at most T
+       points of ONE bucket (load-balanced by construction, zero digits
+       and points at infinity excluded entirely);
+    3. emit perm (nwin,T,L) gather indices (sign in bit 31), per-lane
+       loads, and per-bucket first-lane indices.  T is quantized to a
+       multiple of 8 so compiled shapes stay stable across MSM calls.
+
+  device (one jitted program; scan over windows):
+    4. gather the permuted affine table rows once per window (XLA take);
+    5. scan T rounds of the fused Pallas MIXED add (ec32.EC32Ctx.madd,
+       Z2=1, 11 variable muls) over all L lanes — the accumulators walk
+       through HBM between rounds but every field op stays in VMEM;
+    6. ONE unmasked suffix doubling-scan over the bucket-sorted lanes:
+       the first lane of bucket b then holds Q_b = sum_{b'>=b} S_b', and
+       sum_b b*S_b = sum_b Q_b — so a bucket gather + halving tree
+       reduce finishes the window with no masked segmented logic at all;
+    7. window sums return to the host for the tiny Horner tail.
+
+Work: ~L*T ≈ 1.2n mixed adds per window (vs ~2n FULL adds per window
+for the associative-scan design, which also paid a device argsort per
+window and materialized every scan level to HBM).
+
+Reference parity: this is the prover MSM of Groth16/GM17/Marlin
+(ark-groth16 prove, reference Cargo.toml:39; hot call sites
+ec_cycle_pcd/mod.rs:171,179).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ec32 import ec32_ctx
+
+_SIGN = np.uint32(1 << 31)
+
+
+class StreamSchedule:
+    """Host-computed gather schedule for one scalar vector."""
+
+    __slots__ = ("perm", "loads", "bidx", "T")
+
+    def __init__(self, perm, loads, bidx, T):
+        self.perm = perm      # (nwin, T, L) uint32, sign in bit 31
+        self.loads = loads    # (nwin, L) int32
+        self.bidx = bidx      # (nwin, B) int32 (L = identity slot)
+        self.T = T
+
+
+class StreamMSMCtx:
+    """curve must have prime-field coordinates (G1) for now."""
+
+    def __init__(self, curve, scalar_bits: int, c: int = 12,
+                 lanes: int = 8192):
+        assert 2 <= c <= 14
+        self.curve = curve
+        self.ec = ec32_ctx(curve)
+        self.c = c
+        self.B = 1 << (c - 1)          # bucket magnitudes 1..B
+        self.L = lanes
+        assert lanes % 128 == 0 and lanes > self.B // 8
+        self.scalar_bits = scalar_bits
+        self.base_windows = -(-scalar_bits // c)
+        self.nwin = self.base_windows + 1   # signed carry window
+
+    # -- host: digits -----------------------------------------------------
+    def digits_signed(self, limbs: np.ndarray):
+        """(n, NL) u64 canonical limbs -> (mags (nwin,n) int32 in [0,B],
+        signs (nwin,n) bool).  Little-endian byte view; no Python ints."""
+        n = limbs.shape[0]
+        c, base = self.c, self.base_windows
+        by = np.ascontiguousarray(limbs).view(np.uint8).reshape(n, -1)
+        need = (base * c + 7) // 8 + 3
+        if by.shape[1] < need:
+            by = np.pad(by, [(0, 0), (0, need - by.shape[1])])
+        mask = (1 << c) - 1
+        half = 1 << (c - 1)
+        full = 1 << c
+        mags = np.zeros((base + 1, n), dtype=np.int32)
+        signs = np.zeros((base + 1, n), dtype=bool)
+        carry = np.zeros(n, dtype=np.int64)
+        for w in range(base):
+            bit = w * c
+            b0, sh = bit >> 3, bit & 7
+            v = (by[:, b0].astype(np.uint32)
+                 | (by[:, b0 + 1].astype(np.uint32) << 8)
+                 | (by[:, b0 + 2].astype(np.uint32) << 16)) >> sh
+            d = (v & mask).astype(np.int64) + carry
+            carry = (d >= half).astype(np.int64)
+            d -= carry * full
+            neg = d < 0
+            mags[w] = np.where(neg, -d, d)
+            signs[w] = neg
+        mags[base] = carry
+        return mags, signs
+
+    @staticmethod
+    def limb_rows(scalars, nbytes: int = 40) -> np.ndarray:
+        """int list -> (n, nbytes/8) u64 little-endian limb rows."""
+        buf = b"".join(int(s).to_bytes(nbytes, "little") for s in scalars)
+        return np.frombuffer(buf, dtype="<u8").reshape(len(scalars), -1)
+
+    # -- host: schedule ---------------------------------------------------
+    def _fit_T(self, counts_nz: np.ndarray, m: int) -> int:
+        T = max(1, -(-m // self.L))
+        while True:
+            lanes = -(-counts_nz // T)
+            if int(lanes.sum()) <= self.L:
+                return T
+            T += max(1, T // 8)
+
+    def schedule(self, mags: np.ndarray, signs: np.ndarray,
+                 inf=None) -> StreamSchedule:
+        nwin, n = mags.shape
+        L, B = self.L, self.B
+        if inf is not None:
+            inf = np.asarray(inf, dtype=bool)
+            if inf.any():
+                mags = np.where(inf[None, :], 0, mags)
+        per_win = []
+        T = 8
+        for w in range(nwin):
+            mag = mags[w]
+            counts = np.bincount(mag, minlength=B + 1)
+            m = n - int(counts[0])
+            per_win.append((mag, counts))
+            T = max(T, self._fit_T(counts[1:], m))
+        T = -(-T // 8) * 8
+        perm = np.zeros((nwin, T * L), dtype=np.uint32)
+        loads = np.zeros((nwin, L), dtype=np.int32)
+        bidx = np.full((nwin, B), L, dtype=np.int32)
+        for w in range(nwin):
+            mag, counts = per_win[w]
+            cnz = counts[1:]
+            lanes_b = -(-cnz // T)               # ceil; 0 for empty
+            starts = np.zeros(B, dtype=np.int64)
+            np.cumsum(lanes_b[:-1], out=starts[1:])
+            sort_idx = np.argsort(mag, kind="stable")
+            nz0 = int(counts[0])
+            pidx = sort_idx[nz0:]
+            if pidx.shape[0]:
+                s_mag = mag[pidx] - 1            # bucket index 0..B-1
+                cum_excl = np.zeros(B, dtype=np.int64)
+                np.cumsum(cnz[:-1], out=cum_excl[1:])
+                k = np.arange(pidx.shape[0], dtype=np.int64) \
+                    - cum_excl[s_mag]
+                lb = lanes_b[s_mag]
+                lane = starts[s_mag] + k % lb
+                rnd = k // lb
+                val = pidx.astype(np.uint32)
+                val |= signs[w][pidx].astype(np.uint32) << 31
+                perm[w][rnd * L + lane] = val
+                loads[w] = np.bincount(lane, minlength=L)
+            # Q_j gather: first lane of the smallest nonempty bucket >= j
+            arr = np.where(cnz > 0, starts, L).astype(np.int64)
+            bidx[w] = np.minimum.accumulate(arr[::-1])[::-1]
+        return StreamSchedule(perm.reshape(nwin, T, L), loads, bidx, T)
+
+    # -- device -----------------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def _window_sums_dev(self, X, Y, perm, loads, bidx):
+        ec = self.ec
+        L, B = self.L, self.B
+        nwin, T, _ = perm.shape
+        KW = X.shape[1]
+        idrow = ec.identity((1,))
+
+        def wbody(carry, xs):
+            perm_w, loads_w, bidx_w = xs
+            idx = (perm_w & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+            sign = (perm_w >> 31).astype(jnp.float32)
+            Xg = jnp.take(X, idx.reshape(-1), axis=0).reshape(T, L, KW)
+            Yg = jnp.take(Y, idx.reshape(-1), axis=0).reshape(T, L, KW)
+            active = (jax.lax.broadcasted_iota(jnp.int32, (T, L), 0)
+                      < loads_w[None, :]).astype(jnp.float32)
+
+            def step(acc, x2):
+                xg, yg, sg, av = x2
+                return ec.madd(acc, (xg, yg), sg, av), None
+
+            acc, _ = jax.lax.scan(step, ec.identity((L,)),
+                                  (Xg, Yg, sign, active))
+            # unmasked suffix doubling over bucket-sorted lanes
+            U = acc
+            s = 1
+            while s < L:
+                shifted = tuple(
+                    jnp.concatenate(
+                        [c[s:],
+                         jnp.broadcast_to(i0, (s,) + c.shape[1:])],
+                        axis=0)
+                    for c, i0 in zip(U, idrow))
+                U = ec.add(U, shifted)
+                s *= 2
+            Upad = tuple(jnp.concatenate([c, i0], axis=0)
+                         for c, i0 in zip(U, idrow))
+            Q = tuple(jnp.take(c, bidx_w, axis=0) for c in Upad)
+            w = B
+            while w > 1:
+                Q = ec.add(tuple(c[: w // 2] for c in Q),
+                           tuple(c[w // 2:] for c in Q))
+                w //= 2
+            return carry, tuple(c[0] for c in Q)
+
+        _, ws = jax.lax.scan(wbody, 0, (perm, loads, bidx))
+        return ws
+
+    # -- host tail ---------------------------------------------------------
+    def horner_host(self, wsn) -> object:
+        acc = self.curve.infinity()
+        for w in reversed(range(self.nwin)):
+            for _ in range(self.c):
+                acc = acc.double()
+            acc = acc + self.ec.decode_point(
+                tuple(c[w: w + 1] for c in wsn))
+        return acc
+
+    # -- entry points -------------------------------------------------------
+    def msm_limbs(self, Xtab, Ytab, limbs: np.ndarray, inf=None):
+        """Device-resident f32 Montgomery affine tables + (n, NL) u64
+        canonical limb scalars -> host point."""
+        mags, signs = self.digits_signed(limbs)
+        sched = self.schedule(mags, signs, inf)
+        ws = self._window_sums_dev(
+            Xtab, Ytab, jnp.asarray(sched.perm), jnp.asarray(sched.loads),
+            jnp.asarray(sched.bidx))
+        return self.horner_host(tuple(np.asarray(c) for c in ws))
+
+    def msm(self, points, scalars):
+        """Host convenience API: point list + int scalars -> host point."""
+        assert len(points) == len(scalars) and points
+        X, Y, _ = self.ec.encode_points(points)
+        inf = np.array([p.is_infinity() for p in points], dtype=bool)
+        nbytes = (self.scalar_bits + 63) // 64 * 8
+        limbs = self.limb_rows(scalars, nbytes)
+        return self.msm_limbs(jnp.asarray(X), jnp.asarray(Y), limbs,
+                              inf=inf)
+
+
+@lru_cache(maxsize=None)
+def stream_ctx(curve, scalar_bits: int, c: int = 12,
+               lanes: int = 8192) -> StreamMSMCtx:
+    return StreamMSMCtx(curve, scalar_bits, c, lanes)
+
+
+def stream_ok(curve) -> bool:
+    """Stream MSM currently covers prime-coordinate curves (G1)."""
+    return curve.F.extension_degree_over_prime() == 1

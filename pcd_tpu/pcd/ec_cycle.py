@@ -311,11 +311,15 @@ class ECCyclePCD:
             cache = {}
             self._vkh_cache = cache
         # hold strong refs to the keyed objects so an id() is never reused
-        # by a different (freed) object while its entry is alive
+        # by a different (freed) object while its entry is alive; bounded
+        # so instances cycling through many keys don't retain key material
+        # forever (advisor r3)
         key = (id(crh_pp), id(help_vk))
         hit = cache.get(key)
         if hit is not None:
             return hit[2]
+        if len(cache) >= 8:
+            cache.pop(next(iter(cache)))
         ic = self.ic
         scratch = ConstraintSystem(ic.main_field)
         help_vk_g = ic.help_gadget.alloc_vk(scratch, help_vk, mode="witness")
