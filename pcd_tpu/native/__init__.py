@@ -95,6 +95,13 @@ def _load():
     lib.pcd_wprog_run.restype = ctypes.c_int
     lib.pcd_wprog_run.argtypes = [ctypes.c_long, ctypes.c_long, i64p, u64p,
                                   u64p]
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.pcd_msm_schedule.restype = ctypes.c_long
+    lib.pcd_msm_schedule.argtypes = [
+        ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long, u64p, ctypes.c_long, u8p, u32p,
+        i32p, i32p]
     _lib = lib
     return lib
 
@@ -556,6 +563,40 @@ def vec_op(modulus: int, op: str, a, b) -> np.ndarray:
     if rc != 0:
         raise RuntimeError("pcd_vec_op failed")
     return out
+
+
+def msm_schedule(limbs: np.ndarray, inf, c: int, nwin: int, L: int,
+                 B: int):
+    """Stream-MSM gather schedule (ops/msm_stream.py) computed natively:
+    signed digits + proportional lane placement in threaded C++.
+    Returns (perm (nwin,T,L) u32, loads (nwin,L) i32, bidx (nwin,B) i32,
+    T) or None when the native tier is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    limbs = np.ascontiguousarray(limbs, dtype="<u8")
+    n, nl = limbs.shape
+    inf_p = None
+    if inf is not None:
+        inf_arr = np.ascontiguousarray(np.asarray(inf, dtype=np.uint8))
+        inf_p = _u8p(inf_arr)
+    nullp = ctypes.POINTER(ctypes.c_uint32)()
+    nulli = ctypes.POINTER(ctypes.c_int32)()
+    T = lib.pcd_msm_schedule(n, c, nwin, L, B, 0, _u64p(limbs), nl, inf_p,
+                             nullp, nulli, nulli)
+    if T <= 0:
+        return None
+    perm = np.zeros((nwin, T * L), dtype=np.uint32)
+    loads = np.zeros((nwin, L), dtype=np.int32)
+    bidx = np.zeros((nwin, B), dtype=np.int32)
+    rc = lib.pcd_msm_schedule(
+        n, c, nwin, L, B, T, _u64p(limbs), nl, inf_p,
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        loads.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        bidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc < 0:
+        raise RuntimeError(f"pcd_msm_schedule failed rc={rc}")
+    return perm.reshape(nwin, T, L), loads, bidx, T
 
 
 def geom_scale(modulus: int, g: int, values) -> list:

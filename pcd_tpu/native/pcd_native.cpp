@@ -27,6 +27,7 @@
 #include <thread>
 #include <algorithm>
 #include <memory>
+#include <atomic>
 
 static int hw_threads() {
     unsigned n = std::thread::hardware_concurrency();
@@ -35,6 +36,9 @@ static int hw_threads() {
 
 typedef uint64_t u64;
 typedef unsigned __int128 u128;
+typedef uint32_t u32;
+typedef int32_t i32;
+typedef uint8_t u8;
 
 static const int NL = 5; // limbs per base-field element (320 bits)
 
@@ -1584,4 +1588,157 @@ extern "C" int pcd_hpoly(long field_h, long n, const u64 *omega,
         for (auto &t : ts) t.join();
     }
     return 0;
+}
+
+// --------------------------------------------------------- MSM schedule
+// Host-side bookkeeping for the TPU stream MSM (pcd_tpu/ops/msm_stream.py):
+// signed c-bit digit extraction + a proportional lane allocation, emitted
+// as the (nwin, T, L) gather permutation, per-lane loads and per-bucket
+// first-lane indices the device pipeline consumes.  Pure integer passes
+// (no field math); threaded over windows.
+//
+// Two-call protocol: pass T = 0 to compute the REQUIRED number of rounds
+// (quantized to a multiple of 8, returned as a positive value; output
+// buffers may be NULL).  Then call again with that T and the buffers.
+// Returns -1 on bad arguments, -2 when the given T is too small.
+extern "C" long pcd_msm_schedule(long n, int c, int nwin, long L, long B,
+                                 long T, const u64 *scalars, long nlimbs,
+                                 const u8 *inf, u32 *perm, i32 *loads,
+                                 i32 *bidx) {
+    if (n <= 0 || c < 2 || c > 14 || nwin < 2 || L <= 0 || B != (1L << (c - 1)))
+        return -1;
+    const int base = nwin - 1;
+    const u32 mask = (1u << c) - 1;
+    const long half = 1L << (c - 1), full = 1L << c;
+
+    // signed digits, (nwin, n): mag in [0, B], sign in bit 31
+    std::vector<u32> dig((size_t)nwin * n);
+    {
+        const int HW = hw_threads();
+        std::vector<std::thread> ts;
+        long chunk = (n + HW - 1) / HW;
+        for (int t = 0; t < HW; t++) {
+            long i0 = t * chunk, i1 = std::min(n, i0 + chunk);
+            if (i0 >= i1) continue;
+            ts.emplace_back([&, i0, i1]() {
+                for (long i = i0; i < i1; i++) {
+                    if (inf && inf[i]) {
+                        for (int w = 0; w < nwin; w++)
+                            dig[(size_t)w * n + i] = 0;
+                        continue;
+                    }
+                    const u64 *s = scalars + i * nlimbs;
+                    long carry = 0;
+                    for (int w = 0; w < base; w++) {
+                        long bit = (long)w * c;
+                        long word = bit >> 6;
+                        int sh = (int)(bit & 63);
+                        u64 v = word < nlimbs ? (s[word] >> sh) : 0;
+                        if (sh + c > 64 && word + 1 < nlimbs)
+                            v |= s[word + 1] << (64 - sh);
+                        long d = (long)(v & mask) + carry;
+                        carry = d >= half ? 1 : 0;
+                        d -= carry * full;
+                        dig[(size_t)w * n + i] =
+                            d < 0 ? ((u32)(-d) | 0x80000000u) : (u32)d;
+                    }
+                    dig[(size_t)base * n + i] = (u32)carry;
+                }
+            });
+        }
+        for (auto &t : ts) t.join();
+    }
+
+    // per-window bucket counts -> global required T
+    std::vector<std::vector<long>> counts(nwin);
+    long Tneed = 1;
+    {
+        const int HW = hw_threads();
+        std::vector<long> tn(nwin, 1);
+        std::vector<std::thread> ts;
+        std::atomic<int> next{0};
+        for (int t = 0; t < HW; t++) {
+            ts.emplace_back([&]() {
+                int w;
+                while ((w = next.fetch_add(1)) < nwin) {
+                    auto &cn = counts[w];
+                    cn.assign(B + 1, 0);
+                    const u32 *dw = dig.data() + (size_t)w * n;
+                    long m = 0;
+                    for (long i = 0; i < n; i++) {
+                        u32 mag = dw[i] & 0x7FFFFFFFu;
+                        cn[mag]++;
+                        if (mag) m++;
+                    }
+                    long Tw = std::max(1L, (m + L - 1) / L);
+                    for (;;) {
+                        long lanes = 0;
+                        for (long b = 1; b <= B; b++)
+                            lanes += (cn[b] + Tw - 1) / Tw;
+                        if (lanes <= L) break;
+                        Tw += std::max(1L, Tw / 8);
+                    }
+                    tn[w] = Tw;
+                }
+            });
+        }
+        for (auto &t : ts) t.join();
+        for (int w = 0; w < nwin; w++) Tneed = std::max(Tneed, tn[w]);
+        Tneed = (Tneed + 7) / 8 * 8;
+    }
+    if (T == 0) return Tneed;
+    if (T < Tneed) return -2;
+    if (!perm || !loads || !bidx) return -1;
+
+    // placement with the agreed T (threaded over windows)
+    {
+        const int HW = hw_threads();
+        std::vector<std::thread> ts;
+        std::atomic<int> next{0};
+        for (int t = 0; t < HW; t++) {
+            ts.emplace_back([&]() {
+                int w;
+                while ((w = next.fetch_add(1)) < nwin) {
+                    const auto &cn = counts[w];
+                    const u32 *dw = dig.data() + (size_t)w * n;
+                    std::vector<long> lanes_b(B + 1, 0), start(B + 1, 0),
+                        ctr(B + 1, 0);
+                    long s0 = 0;
+                    for (long b = 1; b <= B; b++) {
+                        lanes_b[b] = (cn[b] + T - 1) / T;
+                        start[b] = s0;
+                        s0 += lanes_b[b];
+                    }
+                    u32 *pw = perm + (size_t)w * T * L;
+                    std::memset(pw, 0, sizeof(u32) * T * L);
+                    for (long i = 0; i < n; i++) {
+                        u32 d = dw[i];
+                        u32 mag = d & 0x7FFFFFFFu;
+                        if (!mag) continue;
+                        long j = ctr[mag]++;
+                        long lane = start[mag] + j % lanes_b[mag];
+                        long rnd = j / lanes_b[mag];
+                        pw[rnd * L + lane] =
+                            (u32)i | (d & 0x80000000u);
+                    }
+                    i32 *lw = loads + (size_t)w * L;
+                    std::memset(lw, 0, sizeof(i32) * L);
+                    for (long b = 1; b <= B; b++)
+                        for (long j = 0; j < lanes_b[b]; j++)
+                            lw[start[b] + j] =
+                                (i32)(cn[b] / lanes_b[b]
+                                      + (j < cn[b] % lanes_b[b] ? 1 : 0));
+                    // global first-lane per bucket; sentinel nwin*L
+                    i32 *bw = bidx + (size_t)w * B;
+                    long run = (long)nwin * L;
+                    for (long b = B; b >= 1; b--) {
+                        if (cn[b] > 0) run = (long)w * L + start[b];
+                        bw[b - 1] = (i32)run;
+                    }
+                }
+            });
+        }
+        for (auto &t : ts) t.join();
+    }
+    return Tneed;
 }

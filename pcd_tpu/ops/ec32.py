@@ -151,6 +151,17 @@ def _rcb_maddT(fp: Fp32Ctx, spec: _MaddSpec, carr, fld, P, Q,
     sign_row/act_row (1,B) f32 flags.  Returns the masked-select new acc.
     carr: {'offX3','offT2n': (K,B) rows, 'a'/'b3'/'a2': Toeplitz arrays
     for the matmul-planned constants}; fld = (N0T, P0T, off4)."""
+    off4 = fld[2]
+    X2, Y2 = Q
+    # signed digit: gathered point negated in-kernel (y -> 4p - y)
+    Y2n = fp.settleT(off4 - Y2, rounds=2)
+    Y2 = jnp.where(sign_row > 0, Y2n, Y2)
+    return _rcb_maddT_ns(fp, spec, carr, fld, P, (X2, Y2), act_row)
+
+
+def _rcb_maddT_ns(fp: Fp32Ctx, spec: _MaddSpec, carr, fld, P, Q, act_row):
+    """_rcb_maddT with the digit sign already applied to Y2 (the stream
+    pipeline pre-negates the whole gathered tile in one vectorized pass)."""
     N0T, P0T, off4 = fld
     X1, Y1, Z1 = P
     X2, Y2 = Q
@@ -168,10 +179,6 @@ def _rcb_maddT(fp: Fp32Ctx, spec: _MaddSpec, carr, fld, P, Q,
 
     def sub4(a, b):
         return fp.subT(a, b, off4)
-
-    # signed digit: gathered point negated in-kernel (y -> 4p - y)
-    Y2n = fp.settleT(off4 - Y2, rounds=2)
-    Y2 = jnp.where(sign_row > 0, Y2n, Y2)
 
     t0 = mul(X1, X2)
     t1 = mul(Y1, Y2)
@@ -514,6 +521,104 @@ class EC32Ctx:
             input_output_aliases={0: 0, 1: 1, 2: 2},
         )
         return tuple(fn(*P, *Q, sign, active, N0T, P0T, off4, *extra))
+
+    def madd_accumulate(self, G, loads):
+        """The stream-MSM hot loop as ONE Pallas call: G (T, L, 2*KP) is
+        the gathered (X||Y) affine tile stream (sign already applied to
+        Y), loads (L,) int32 = active rounds per lane; returns the
+        (L,)-lane accumulators after T sequential mixed adds per lane.
+        Grid is (L/BL, T) with T innermost — the accumulator lives in
+        VMEM scratch across all T rounds, so HBM sees each gathered tile
+        once and the three output arrays once (vs 2 acc round-trips per
+        round for the scan form)."""
+        T, L, W2 = G.shape
+        kp = self.fp.kp
+        assert W2 == 2 * kp
+        if jax.default_backend() != "tpu":
+            active = (jax.lax.broadcasted_iota(jnp.int32, (T, L), 0)
+                      < loads[None, :]).astype(jnp.float32)
+
+            def step(acc, xs):
+                g, av = xs
+                return self.madd(acc, (g[:, :kp], g[:, kp:]),
+                                 jnp.zeros((L,), jnp.float32), av), None
+
+            acc, _ = jax.lax.scan(step, self.identity((L,)), (G, active))
+            return acc
+        from jax.experimental import pallas as pl
+
+        fp = self.fp
+        B = self.MADD_BLOCK
+        assert L % B == 0
+        N0T = jnp.asarray(fp.N0.T.copy(), dtype=jnp.bfloat16)
+        P0T = jnp.asarray(fp.P0.T.copy(), dtype=jnp.bfloat16)
+
+        def full(v):
+            return jnp.asarray(
+                np.broadcast_to(np.asarray(v, dtype=np.float32
+                                           ).reshape(-1, 1), (kp, B)).copy())
+
+        off4 = full(fp.off4p())
+        one_r = np.zeros(kp, dtype=np.float32)
+        one_r[: fp.k] = fp.one_mont
+        onec = full(one_r)
+        carr_full = self._madd_carr(rows=B)
+        mat_names = [nm for nm in ("a", "b3", "a2")
+                     if getattr(self.madd_spec, nm)[0] == "m"]
+        extra = ([carr_full["offX3"], carr_full["offT2n"]]
+                 + [carr_full[nm] for nm in mat_names])
+        spec = self.madd_spec
+        nT = T
+
+        def kernel(g, ld, n0, p0, offr, onev, *rest):
+            offx3, offt2n = rest[0], rest[1]
+            mats = rest[2: 2 + len(mat_names)]
+            ox, oy, oz = rest[2 + len(mat_names): 5 + len(mat_names)]
+            ax, ay, az = rest[5 + len(mat_names):]
+            t = pl.program_id(1)
+
+            @pl.when(t == 0)
+            def _():
+                ax[:] = jnp.zeros_like(ax)
+                ay[:] = onev[:]
+                az[:] = jnp.zeros_like(az)
+
+            carr = {"offX3": offx3[:], "offT2n": offt2n[:]}
+            for nm, mref in zip(mat_names, mats):
+                carr[nm] = mref[:]
+            fld = (n0[:], p0[:], offr[:])
+            gt = g[0]                       # (B, 2*kp)
+            Q = (gt[:, :kp].T, gt[:, kp:].T)
+            P = (ax[:], ay[:], az[:])
+            act = (t < ld[:].T).astype(jnp.float32)   # (1, B)
+            R = _rcb_maddT_ns(fp, spec, carr, fld, P, Q, act)
+            ax[:], ay[:], az[:] = R
+
+            @pl.when(t == nT - 1)
+            def _():
+                ox[:], oy[:], oz[:] = (r.T for r in R)
+
+        gspec = pl.BlockSpec((1, B, 2 * kp), lambda l, t: (t, l, 0))
+        lspec = pl.BlockSpec((B, 1), lambda l, t: (l, 0))
+        ospec = pl.BlockSpec((B, kp), lambda l, t: (l, 0))
+
+        def whole(arr):
+            return pl.BlockSpec(arr.shape, lambda l, t: (0,) * arr.ndim)
+
+        out_shape = [jax.ShapeDtypeStruct((L, kp), jnp.float32)] * 3
+        from jax.experimental.pallas import tpu as pltpu
+
+        fn = pl.pallas_call(
+            kernel,
+            grid=(L // B, T),
+            in_specs=[gspec, lspec, whole(N0T), whole(P0T), whole(off4),
+                      whole(onec)] + [whole(c) for c in extra],
+            out_specs=[ospec] * 3,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((kp, B), jnp.float32)] * 3,
+        )
+        return tuple(fn(G, loads.astype(jnp.int32).reshape(L, 1), N0T,
+                        P0T, off4, onec, *extra))
 
     def double(self, P):
         return self.add(P, P)

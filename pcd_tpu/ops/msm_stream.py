@@ -143,7 +143,9 @@ class StreamMSMCtx:
         T = -(-T // 8) * 8
         perm = np.zeros((nwin, T * L), dtype=np.uint32)
         loads = np.zeros((nwin, L), dtype=np.int32)
-        bidx = np.full((nwin, B), L, dtype=np.int32)
+        # GLOBAL first-lane index per bucket (w*L + lane) into the
+        # batched (nwin*L)-row lane array; nwin*L = the identity pad row
+        bidx = np.full((nwin, B), nwin * L, dtype=np.int32)
         for w in range(nwin):
             mag, counts = per_win[w]
             cnz = counts[1:]
@@ -167,58 +169,59 @@ class StreamMSMCtx:
                 perm[w][rnd * L + lane] = val
                 loads[w] = np.bincount(lane, minlength=L)
             # Q_j gather: first lane of the smallest nonempty bucket >= j
-            arr = np.where(cnz > 0, starts, L).astype(np.int64)
+            arr = np.where(cnz > 0, w * L + starts,
+                           nwin * L).astype(np.int64)
             bidx[w] = np.minimum.accumulate(arr[::-1])[::-1]
         return StreamSchedule(perm.reshape(nwin, T, L), loads, bidx, T)
 
     # -- device -----------------------------------------------------------
     @partial(jax.jit, static_argnums=0)
-    def _window_sums_dev(self, X, Y, perm, loads, bidx):
+    def _window_sums_dev(self, XY, perm, loads, bidx_flat):
+        """XY: combined (n, 2*KP) affine table; bidx_flat: (nwin*B,)
+        GLOBAL first-lane indices (sentinel nwin*L = identity)."""
         ec = self.ec
+        fp = ec.fp
         L, B = self.L, self.B
         nwin, T, _ = perm.shape
-        KW = X.shape[1]
+        kp = fp.kp
+
+        n2 = XY.shape[0] // 2   # doubled table: rows n..2n-1 hold -P
+
+        def madd_win(carry, xs):
+            perm_w, loads_w = xs
+            # sign bit selects the negated-Y half of the doubled table —
+            # the whole signed-digit negation costs one integer add here
+            idx = ((perm_w & jnp.uint32(0x7FFFFFFF))
+                   + (perm_w >> 31) * jnp.uint32(n2)).astype(jnp.int32)
+            G = jnp.take(XY, idx.reshape(-1), axis=0).reshape(T, L, 2 * kp)
+            return carry, ec.madd_accumulate(G, loads_w)
+
+        _, accs = jax.lax.scan(madd_win, 0, (perm, loads))
+        # batched window-local suffix doubling over bucket-sorted lanes
+        R = nwin * L
+        U = tuple(a.reshape(R, kp) for a in accs)
         idrow = ec.identity((1,))
-
-        def wbody(carry, xs):
-            perm_w, loads_w, bidx_w = xs
-            idx = (perm_w & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-            sign = (perm_w >> 31).astype(jnp.float32)
-            Xg = jnp.take(X, idx.reshape(-1), axis=0).reshape(T, L, KW)
-            Yg = jnp.take(Y, idx.reshape(-1), axis=0).reshape(T, L, KW)
-            active = (jax.lax.broadcasted_iota(jnp.int32, (T, L), 0)
-                      < loads_w[None, :]).astype(jnp.float32)
-
-            def step(acc, x2):
-                xg, yg, sg, av = x2
-                return ec.madd(acc, (xg, yg), sg, av), None
-
-            acc, _ = jax.lax.scan(step, ec.identity((L,)),
-                                  (Xg, Yg, sign, active))
-            # unmasked suffix doubling over bucket-sorted lanes
-            U = acc
-            s = 1
-            while s < L:
-                shifted = tuple(
-                    jnp.concatenate(
-                        [c[s:],
-                         jnp.broadcast_to(i0, (s,) + c.shape[1:])],
-                        axis=0)
-                    for c, i0 in zip(U, idrow))
-                U = ec.add(U, shifted)
-                s *= 2
-            Upad = tuple(jnp.concatenate([c, i0], axis=0)
-                         for c, i0 in zip(U, idrow))
-            Q = tuple(jnp.take(c, bidx_w, axis=0) for c in Upad)
-            w = B
-            while w > 1:
-                Q = ec.add(tuple(c[: w // 2] for c in Q),
-                           tuple(c[w // 2:] for c in Q))
-                w //= 2
-            return carry, tuple(c[0] for c in Q)
-
-        _, ws = jax.lax.scan(wbody, 0, (perm, loads, bidx))
-        return ws
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape(R) % L
+        s = 1
+        while s < L:
+            shifted = tuple(
+                jnp.concatenate(
+                    [c[s:], jnp.broadcast_to(i0, (s, kp))], axis=0)
+                for c, i0 in zip(U, idrow))
+            added = ec.add(U, shifted)
+            U = ec.select(lane + s < L, added, U)
+            s *= 2
+        Upad = tuple(jnp.concatenate([c, i0], axis=0)
+                     for c, i0 in zip(U, idrow))
+        Q = tuple(jnp.take(c, bidx_flat, axis=0) for c in Upad)
+        w = B
+        while w > 1:
+            Q = tuple(c.reshape(nwin, w, kp) for c in Q)
+            Q = ec.add(
+                tuple(c[:, : w // 2].reshape(-1, kp) for c in Q),
+                tuple(c[:, w // 2:].reshape(-1, kp) for c in Q))
+            w //= 2
+        return tuple(c.reshape(nwin, kp) for c in Q)
 
     # -- host tail ---------------------------------------------------------
     def horner_host(self, wsn) -> object:
@@ -231,25 +234,70 @@ class StreamMSMCtx:
         return acc
 
     # -- entry points -------------------------------------------------------
-    def msm_limbs(self, Xtab, Ytab, limbs: np.ndarray, inf=None):
-        """Device-resident f32 Montgomery affine tables + (n, NL) u64
-        canonical limb scalars -> host point."""
+    def _doubled(self, X, Y):
+        """(2n, 2*KP) combined table: rows [0,n) = (X||Y), rows [n,2n) =
+        (X||-Y).  A signed digit gathers from the second half — the
+        per-point negation costs one index add instead of a masked
+        negate pass over the gathered stream."""
+        fp = self.ec.fp
+        off4 = jnp.asarray(fp.off4p())
+
+        @jax.jit
+        def build(X, Y):
+            Yn = fp.settle(off4 - Y, rounds=2)
+            return jnp.concatenate(
+                [jnp.concatenate([X, Y], axis=1),
+                 jnp.concatenate([X, Yn], axis=1)], axis=0)
+
+        return build(X, Y)
+
+    def encode_table(self, points):
+        """Host point list -> (device (2n, 2*KP) doubled X||(+-Y) affine
+        table, infinity mask).  Infinite rows are excluded by the
+        scheduler, never gathered."""
+        X, Y, _ = self.ec.encode_points(points)
+        inf = np.array([p.is_infinity() for p in points], dtype=bool)
+        return self._doubled(jnp.asarray(X), jnp.asarray(Y)), inf
+
+    def table_from_limbs(self, xs, ys, inf):
+        """Canonical u64 limb coordinate arrays (native EncodedPoints
+        layout) -> doubled device table; Montgomery encode on device."""
+        X, Y, _ = self.ec.encode_from_limbs(xs, ys, inf)
+        return self._doubled(X, Y), np.asarray(inf, bool)
+
+    def schedule_any(self, limbs: np.ndarray, inf=None) -> StreamSchedule:
+        """Native (threaded C++) schedule when available, numpy fallback
+        (identical semantics; the two emit different but equivalent
+        placements)."""
+        try:
+            from ..native import msm_schedule
+
+            out = msm_schedule(limbs, inf, self.c, self.nwin, self.L,
+                               self.B)
+        except Exception:
+            out = None
+        if out is not None:
+            perm, loads, bidx, T = out
+            return StreamSchedule(perm, loads, bidx, T)
         mags, signs = self.digits_signed(limbs)
-        sched = self.schedule(mags, signs, inf)
+        return self.schedule(mags, signs, inf)
+
+    def msm_limbs(self, XY, limbs: np.ndarray, inf=None):
+        """Combined device table + (n, NL) u64 canonical limb scalars ->
+        host point."""
+        sched = self.schedule_any(limbs, inf)
         ws = self._window_sums_dev(
-            Xtab, Ytab, jnp.asarray(sched.perm), jnp.asarray(sched.loads),
-            jnp.asarray(sched.bidx))
+            XY, jnp.asarray(sched.perm), jnp.asarray(sched.loads),
+            jnp.asarray(sched.bidx.reshape(-1)))
         return self.horner_host(tuple(np.asarray(c) for c in ws))
 
     def msm(self, points, scalars):
         """Host convenience API: point list + int scalars -> host point."""
         assert len(points) == len(scalars) and points
-        X, Y, _ = self.ec.encode_points(points)
-        inf = np.array([p.is_infinity() for p in points], dtype=bool)
+        XY, inf = self.encode_table(points)
         nbytes = (self.scalar_bits + 63) // 64 * 8
         limbs = self.limb_rows(scalars, nbytes)
-        return self.msm_limbs(jnp.asarray(X), jnp.asarray(Y), limbs,
-                              inf=inf)
+        return self.msm_limbs(XY, limbs, inf=inf)
 
 
 @lru_cache(maxsize=None)

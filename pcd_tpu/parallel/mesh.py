@@ -6,8 +6,10 @@ Parallelism mapping:
   DP  — MSM point shards across chips, EC tree-reduction after all_gather
         (collectives ride ICI); independent PCD DAG-node proofs farmed
         across hosts (pcd_tpu/parallel/farm.py)
-  TP  — (planned) bucket-parallel Pippenger within one MSM
-  PP  — (planned) main-prove(i+1) overlapped with help-prove(i)
+  TP  — window/bucket-parallel Pippenger within one MSM
+        (sharded_msm_windows below; oracle-tested in tests/test_dist.py)
+  PP  — main-prove(i+1) overlapped with help-prove(i)
+        (pcd_tpu/parallel/pipeline.py)
   SP  — witness vectors / constraint rows sharded over chips
 """
 

@@ -132,9 +132,6 @@ def main():
     out = f"/root/repo/real_cycle_smoke_{which}.json"
     with open(out, "w") as f:
         json.dump(stats, f, indent=1)
-    if which == "groth16":
-        with open("/root/repo/real_cycle_smoke.json", "w") as f:
-            json.dump(stats, f, indent=1)
     print(json.dumps(stats))
 
 
