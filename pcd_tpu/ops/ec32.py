@@ -414,6 +414,75 @@ class EC32Ctx:
         )
         return tuple(fn(*P, *Q, N0, P0, off, ac, b3c, a2c))
 
+    # -- transposed-layout complete add (stream-MSM suffix phase) ---------
+    ADD_COLS_BLOCK = 512
+
+    def identity_cols(self, width: int):
+        fp = self.fp
+        one = np.zeros((fp.kp, 1), dtype=np.float32)
+        one[: fp.k, 0] = fp.one_mont
+        return (jnp.zeros((fp.kp, width), dtype=jnp.float32),
+                jnp.broadcast_to(jnp.asarray(one), (fp.kp, width)),
+                jnp.zeros((fp.kp, width), dtype=jnp.float32))
+
+    def add_cols(self, P, Q):
+        """Complete RCB add on TRANSPOSED (KP, R) coordinate slabs (limbs
+        on sublanes): no per-block Mosaic relayouts, unlike `add`."""
+        kp, R = P[0].shape
+        fp = self.fp
+        if jax.default_backend() != "tpu":
+            fld = (jnp.asarray(fp.N0.T.copy(), dtype=jnp.bfloat16),
+                   jnp.asarray(fp.P0.T.copy(), dtype=jnp.bfloat16),
+                   jnp.asarray(fp.off4p().reshape(-1, 1)))
+            consts = tuple(jnp.asarray(c.reshape(-1, 1)) for c in
+                           (self.a_enc, self.b3_enc, self.a2_enc))
+            return _rcb_addT(fp, consts, fld, P, Q)
+        from jax.experimental import pallas as pl
+
+        B = self.ADD_COLS_BLOCK
+        m = -(-R // B) * B
+        if m != R:
+            P = tuple(jnp.pad(c, [(0, 0), (0, m - R)]) for c in P)
+            Q = tuple(jnp.pad(c, [(0, 0), (0, m - R)]) for c in Q)
+        N0T = jnp.asarray(fp.N0.T.copy(), dtype=jnp.bfloat16)
+        P0T = jnp.asarray(fp.P0.T.copy(), dtype=jnp.bfloat16)
+
+        def full(v):
+            return jnp.asarray(
+                np.broadcast_to(np.asarray(v, dtype=np.float32
+                                           ).reshape(-1, 1), (kp, B)).copy())
+
+        off = full(fp.off4p())
+        ac, b3c, a2c = (full(self.a_enc), full(self.b3_enc),
+                        full(self.a2_enc))
+
+        def kernel(x1, y1, z1, x2, y2, z2, n0, p0, offr, a_r, b3_r, a2_r,
+                   ox, oy, oz):
+            fld = (n0[:], p0[:], offr[:])
+            consts = (a_r[:], b3_r[:], a2_r[:])
+            R_ = _rcb_addT(fp, consts, fld,
+                           (x1[:], y1[:], z1[:]), (x2[:], y2[:], z2[:]))
+            ox[:], oy[:], oz[:] = R_
+
+        spec = pl.BlockSpec((kp, B), lambda i: (0, i))
+
+        def whole(arr):
+            return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim)
+
+        out_shape = [jax.ShapeDtypeStruct((kp, m), jnp.float32)] * 3
+        fn = pl.pallas_call(
+            kernel,
+            grid=(m // B,),
+            in_specs=[spec] * 6 + [whole(N0T), whole(P0T), whole(off),
+                                   whole(ac), whole(b3c), whole(a2c)],
+            out_specs=[spec] * 3,
+            out_shape=out_shape,
+        )
+        out = tuple(fn(*P, *Q, N0T, P0T, off, ac, b3c, a2c))
+        if m != R:
+            out = tuple(c[:, :R] for c in out)
+        return out
+
     # -- mixed addition (stream-MSM hot loop) ------------------------------
     MADD_BLOCK = 256
 
@@ -523,28 +592,29 @@ class EC32Ctx:
         return tuple(fn(*P, *Q, sign, active, N0T, P0T, off4, *extra))
 
     def madd_accumulate(self, G, loads):
-        """The stream-MSM hot loop as ONE Pallas call: G (T, L, 2*KP) is
-        the gathered (X||Y) affine tile stream (sign already applied to
-        Y), loads (L,) int32 = active rounds per lane; returns the
-        (L,)-lane accumulators after T sequential mixed adds per lane.
-        Grid is (L/BL, T) with T innermost — the accumulator lives in
-        VMEM scratch across all T rounds, so HBM sees each gathered tile
-        once and the three output arrays once (vs 2 acc round-trips per
-        round for the scan form)."""
-        T, L, W2 = G.shape
+        """The stream-MSM hot loop as ONE Pallas call: G (T, 2*KP, L) is
+        the gathered (X||Y) affine tile stream in the TRANSPOSED layout
+        (limbs on sublanes — one XLA transpose after the gather replaces
+        two Mosaic relayouts per grid step), loads (1, L) int32 = active
+        rounds per lane.  Returns the (L,)-lane accumulators as three
+        (KP, L) transposed coordinate slabs after T sequential mixed
+        adds per lane.  Grid is (L/BL, T) with T innermost — the
+        accumulator lives in VMEM scratch across all T rounds, so HBM
+        sees each gathered tile once and the outputs once."""
+        T, W2, L = G.shape
         kp = self.fp.kp
         assert W2 == 2 * kp
         if jax.default_backend() != "tpu":
             active = (jax.lax.broadcasted_iota(jnp.int32, (T, L), 0)
-                      < loads[None, :]).astype(jnp.float32)
+                      < loads.reshape(1, L)).astype(jnp.float32)
 
             def step(acc, xs):
                 g, av = xs
-                return self.madd(acc, (g[:, :kp], g[:, kp:]),
+                return self.madd(acc, (g[:kp].T, g[kp:].T),
                                  jnp.zeros((L,), jnp.float32), av), None
 
             acc, _ = jax.lax.scan(step, self.identity((L,)), (G, active))
-            return acc
+            return tuple(c.T for c in acc)
         from jax.experimental import pallas as pl
 
         fp = self.fp
@@ -587,25 +657,25 @@ class EC32Ctx:
             for nm, mref in zip(mat_names, mats):
                 carr[nm] = mref[:]
             fld = (n0[:], p0[:], offr[:])
-            gt = g[0]                       # (B, 2*kp)
-            Q = (gt[:, :kp].T, gt[:, kp:].T)
+            gt = g[0]                       # (2*kp, B) — already transposed
+            Q = (gt[:kp], gt[kp:])
             P = (ax[:], ay[:], az[:])
-            act = (t < ld[:].T).astype(jnp.float32)   # (1, B)
+            act = (t < ld[:]).astype(jnp.float32)     # (1, B)
             R = _rcb_maddT_ns(fp, spec, carr, fld, P, Q, act)
             ax[:], ay[:], az[:] = R
 
             @pl.when(t == nT - 1)
             def _():
-                ox[:], oy[:], oz[:] = (r.T for r in R)
+                ox[:], oy[:], oz[:] = R
 
-        gspec = pl.BlockSpec((1, B, 2 * kp), lambda l, t: (t, l, 0))
-        lspec = pl.BlockSpec((B, 1), lambda l, t: (l, 0))
-        ospec = pl.BlockSpec((B, kp), lambda l, t: (l, 0))
+        gspec = pl.BlockSpec((1, 2 * kp, B), lambda l, t: (t, 0, l))
+        lspec = pl.BlockSpec((1, B), lambda l, t: (0, l))
+        ospec = pl.BlockSpec((kp, B), lambda l, t: (0, l))
 
         def whole(arr):
             return pl.BlockSpec(arr.shape, lambda l, t: (0,) * arr.ndim)
 
-        out_shape = [jax.ShapeDtypeStruct((L, kp), jnp.float32)] * 3
+        out_shape = [jax.ShapeDtypeStruct((kp, L), jnp.float32)] * 3
         from jax.experimental.pallas import tpu as pltpu
 
         fn = pl.pallas_call(
@@ -617,7 +687,7 @@ class EC32Ctx:
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((kp, B), jnp.float32)] * 3,
         )
-        return tuple(fn(G, loads.astype(jnp.int32).reshape(L, 1), N0T,
+        return tuple(fn(G, loads.astype(jnp.int32).reshape(1, L), N0T,
                         P0T, off4, onec, *extra))
 
     def double(self, P):

@@ -176,42 +176,53 @@ class StreamMSMCtx:
 
     # -- device -----------------------------------------------------------
     @partial(jax.jit, static_argnums=0)
-    def _window_sums_dev(self, XY, perm, loads, bidx_flat):
-        """XY: combined (n, 2*KP) affine table; bidx_flat: (nwin*B,)
-        GLOBAL first-lane indices (sentinel nwin*L = identity)."""
+    def _madd_win_dev(self, XY, perm_w, loads_w):
+        """One window's lane accumulation: gather + T-round madd kernel.
+        Dispatched per window (not scanned) so the NEXT window's schedule
+        upload rides the wire while this window computes — on the
+        tunneled dev box host->device moves at ~50 MB/s and would
+        otherwise serialize ~0.5 s ahead of the device work."""
+        ec = self.ec
+        kp = ec.fp.kp
+        T, L = perm_w.shape
+        n2 = XY.shape[0] // 2   # doubled table: rows n..2n-1 hold -P
+        # sign bit selects the negated-Y half of the doubled table —
+        # the whole signed-digit negation costs one integer add here
+        idx = ((perm_w & jnp.uint32(0x7FFFFFFF))
+               + (perm_w >> 31) * jnp.uint32(n2)).astype(jnp.int32)
+        G = jnp.take(XY, idx.reshape(-1), axis=0).reshape(T, L, 2 * kp)
+        # one XLA transpose to the limbs-on-sublanes kernel layout
+        Gt = jnp.transpose(G, (0, 2, 1))
+        return ec.madd_accumulate(Gt, loads_w)
+
+    @partial(jax.jit, static_argnums=0)
+    def _finish_dev(self, accs, bidx_flat):
+        """accs: 3 coords, each (nwin, KP, L); bidx_flat: (nwin*B,)
+        GLOBAL first-lane indices (sentinel nwin*L = identity).
+        Batched window-local suffix doubling over bucket-sorted lanes,
+        then the bucket gather + halving reduce."""
         ec = self.ec
         fp = ec.fp
         L, B = self.L, self.B
-        nwin, T, _ = perm.shape
+        nwin = accs[0].shape[0]
         kp = fp.kp
-
-        n2 = XY.shape[0] // 2   # doubled table: rows n..2n-1 hold -P
-
-        def madd_win(carry, xs):
-            perm_w, loads_w = xs
-            # sign bit selects the negated-Y half of the doubled table —
-            # the whole signed-digit negation costs one integer add here
-            idx = ((perm_w & jnp.uint32(0x7FFFFFFF))
-                   + (perm_w >> 31) * jnp.uint32(n2)).astype(jnp.int32)
-            G = jnp.take(XY, idx.reshape(-1), axis=0).reshape(T, L, 2 * kp)
-            return carry, ec.madd_accumulate(G, loads_w)
-
-        _, accs = jax.lax.scan(madd_win, 0, (perm, loads))
-        # batched window-local suffix doubling over bucket-sorted lanes
         R = nwin * L
-        U = tuple(a.reshape(R, kp) for a in accs)
-        idrow = ec.identity((1,))
+        U = tuple(jnp.transpose(a, (1, 0, 2)).reshape(kp, R)
+                  for a in accs)
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape(R) % L
         s = 1
         while s < L:
+            idc = ec.identity_cols(s)
             shifted = tuple(
-                jnp.concatenate(
-                    [c[s:], jnp.broadcast_to(i0, (s, kp))], axis=0)
-                for c, i0 in zip(U, idrow))
-            added = ec.add(U, shifted)
-            U = ec.select(lane + s < L, added, U)
+                jnp.concatenate([c[:, s:], i0], axis=1)
+                for c, i0 in zip(U, idc))
+            added = ec.add_cols(U, shifted)
+            ok = (lane + s < L)[None, :]
+            U = tuple(jnp.where(ok, a, u) for a, u in zip(added, U))
             s *= 2
-        Upad = tuple(jnp.concatenate([c, i0], axis=0)
+        # back to row-major for the bucket gather + halving reduce
+        idrow = ec.identity((1,))
+        Upad = tuple(jnp.concatenate([c.T, i0], axis=0)
                      for c, i0 in zip(U, idrow))
         Q = tuple(jnp.take(c, bidx_flat, axis=0) for c in Upad)
         w = B
@@ -282,13 +293,26 @@ class StreamMSMCtx:
         mags, signs = self.digits_signed(limbs)
         return self.schedule(mags, signs, inf)
 
+    def window_sums_async(self, XY, sched: StreamSchedule):
+        """Dispatch the full device pipeline; returns the (nwin, KP)
+        window-sum device arrays WITHOUT blocking.  Per-window schedule
+        slices are device_put + dispatched one at a time so the wire
+        transfer of window w+1 overlaps window w's compute."""
+        accs = []
+        for w in range(self.nwin):
+            pw = jax.device_put(sched.perm[w])
+            lw = jax.device_put(sched.loads[w])
+            accs.append(self._madd_win_dev(XY, pw, lw))
+        stacked = tuple(jnp.stack([a[i] for a in accs])
+                        for i in range(3))
+        return self._finish_dev(stacked,
+                                jnp.asarray(sched.bidx.reshape(-1)))
+
     def msm_limbs(self, XY, limbs: np.ndarray, inf=None):
         """Combined device table + (n, NL) u64 canonical limb scalars ->
         host point."""
         sched = self.schedule_any(limbs, inf)
-        ws = self._window_sums_dev(
-            XY, jnp.asarray(sched.perm), jnp.asarray(sched.loads),
-            jnp.asarray(sched.bidx.reshape(-1)))
+        ws = self.window_sums_async(XY, sched)
         return self.horner_host(tuple(np.asarray(c) for c in ws))
 
     def msm(self, points, scalars):
