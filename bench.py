@@ -107,21 +107,20 @@ def _bench_host(pts, scalars, reps=3):
 
 
 def _bench_tpu(cfg, pts, scalars, reps=3):
-    """Device tier (f32 fused-Pallas kernels).  Points live on device
-    (pk queries are device-resident in production); the scalar->digit
-    conversion stays inside the timer, mirroring the host tier."""
-    import jax.numpy as jnp
-
-    from pcd_tpu.ops.msm_tensor import msm_ctx_for
+    """Device tier (stream MSM: host-scheduled bucket accumulation +
+    fused Pallas mixed-add kernels, ops/msm_stream.py).  Points live on
+    device (pk queries are device-resident in production); the
+    scalar->schedule conversion stays inside the timer, mirroring the
+    host tier's per-call scalar marshalling."""
+    from pcd_tpu.ops.msm_stream import stream_ctx
 
     n = len(pts)
-    mctx = msm_ctx_for(cfg.g1, cfg.Fr.BITS, n)
-    X, Y, Z = mctx.ec.encode_points(pts)
-    P = (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z))
+    sctx = stream_ctx(cfg.g1, cfg.Fr.BITS)
+    XY, inf = sctx.encode_table(pts)
+    limbs = sctx.limb_rows(scalars)
 
     def run():
-        digits = jnp.asarray(mctx.digits_from_ints(scalars))
-        return mctx.msm_to_host(P, digits)
+        return sctx.msm_limbs(XY, limbs, inf)
 
     run()  # compile + warm
     times = []

@@ -246,19 +246,30 @@ class StreamMSMCtx:
 
     # -- entry points -------------------------------------------------------
     def _doubled(self, X, Y):
-        """(2n, 2*KP) combined table: rows [0,n) = (X||Y), rows [n,2n) =
-        (X||-Y).  A signed digit gathers from the second half — the
-        per-point negation costs one index add instead of a masked
-        negate pass over the gathered stream."""
+        """(2m, 2*KP) combined table with m = pow2-padded row count:
+        rows [0,m) = (X||Y), rows [m,2m) = (X||-Y).  A signed digit
+        gathers from the second half — the per-point negation costs one
+        index add instead of a masked negate pass over the gathered
+        stream.  Pow2 padding keeps the gather/madd program shapes
+        stable across the prover's different query-table sizes."""
         fp = self.ec.fp
         off4 = jnp.asarray(fp.off4p())
+        n = X.shape[0]
+        m = 1
+        while m < n:
+            m *= 2
 
         @jax.jit
         def build(X, Y):
-            Yn = fp.settle(off4 - Y, rounds=2)
+            if m != n:
+                Xp = jnp.pad(X, [(0, m - n), (0, 0)])
+                Yp = jnp.pad(Y, [(0, m - n), (0, 0)])
+            else:
+                Xp, Yp = X, Y
+            Yn = fp.settle(off4 - Yp, rounds=2)
             return jnp.concatenate(
-                [jnp.concatenate([X, Y], axis=1),
-                 jnp.concatenate([X, Yn], axis=1)], axis=0)
+                [jnp.concatenate([Xp, Yp], axis=1),
+                 jnp.concatenate([Xp, Yn], axis=1)], axis=0)
 
         return build(X, Y)
 

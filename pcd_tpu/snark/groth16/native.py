@@ -204,96 +204,108 @@ class Groth16:
         h_cos = fctx.fp.mont_mul(prod, jnp.broadcast_to(zh, prod.shape))
         return fctx.decode(fctx.coset_ifft(h_cos))
 
-    # -- hybrid TPU+host MSM scheduling ---------------------------------
-    # The 4-core host tier and the TPU are independent execution units;
-    # the prove's five commitment MSMs are independent given (z, h).  In
-    # hybrid mode the G1 query MSMs (a, b1, l) are dispatched to the TPU
-    # asynchronously (f32 window-sum graphs queue on the device) while
-    # the host tier runs the quotient pipeline, the G2 MSM and the h
+    # -- stream-MSM TPU offload -------------------------------------------
+    # The host tier and the TPU are independent execution units; the
+    # prove's five commitment MSMs are independent given (z, h).  The G1
+    # query MSMs (a, b1, l — and h once the quotient lands) are
+    # dispatched to the TPU stream tier (ops/msm_stream.py) while the
+    # host C++ tier runs the matvec, the quotient pipeline and the G2
     # MSM; the tiny window sums are fetched and Horner-combined after.
-    HYBRID_MIN = 1 << 17
+    # Default-ON whenever a TPU is attached (PCD_TPU_STREAM=0 opts out).
+    STREAM_MIN = 100_000
 
-    def _hybrid_launch(self, pk, z_limbs, n_inst):
-        """Returns {name: window-sum futures} or None when the hybrid
-        path is unavailable (no TPU, small circuit, device-resident pk).
-
-        Opt-in via PCD_TPU_HYBRID=1: measured on this 4-core host the
-        tunnel transport saturates the CPUs while the device drains its
-        queue (msm_b2 2.4 s -> 7.3 s under contention), netting ~zero;
-        on hosts with >= 8 cores the overlap is a real win."""
+    def _stream_ctx_tables(self, pk):
+        """(stream ctx, table getter) or None when the stream tier can't
+        run this prove (no TPU, extension G1 coords, opt-out)."""
         import os
 
-        if os.environ.get("PCD_TPU_HYBRID", "0") != "1":
+        if os.environ.get("PCD_TPU_STREAM", "1") == "0":
             return None
-        if self.backend != "auto" or z_limbs is None:
+        if self.backend == "host":
             return None
         from ..msm_dispatch import _device_ok
 
-        if not _device_ok() or len(pk.a_query) < self.HYBRID_MIN:
+        if not _device_ok():
             return None
-        if self.cfg.g1.F.extension_degree_over_prime() != 1:
+        from ...ops.msm_stream import stream_ctx, stream_ok
+
+        if not stream_ok(self.cfg.g1):
             return None
-        import jax.numpy as jnp
-        import numpy as np
+        sctx = stream_ctx(self.cfg.g1, self.Fr.BITS)
+        tables = getattr(pk, "_stream_tables", None)
+        if tables is None:
+            tables = {}
+            pk._stream_tables = tables
 
         from ..msm_dispatch import host_query
         from ...native import EncodedPoints
-        from ...ops.msm_tensor import msm_ctx_for
-
-        n = len(pk.a_query)
-        m = 1
-        while m < n:
-            m *= 2
-        mctx = msm_ctx_for(self.cfg.g1, self.Fr.BITS, m)
-        if mctx.backend != "f32":
-            return None
-        tables = getattr(pk, "_f32_queries", None)
-        if tables is None:
-            tables = {}
-            pk._f32_queries = tables
 
         def table(nm):
-            vec = tables.get(nm)
-            if vec is None:
+            hit = tables.get(nm)
+            if hit is None:
                 enc = host_query(pk, nm)
                 if not isinstance(enc, EncodedPoints):
                     return None
-                X, Y, Z = mctx.ec.encode_from_limbs(enc.xs, enc.ys,
-                                                    enc.inf)
-                pad = m - X.shape[0]
-                if pad:
-                    # zero rows pair with zero digits -> dropped bucket
-                    X, Y, Z = (jnp.pad(c, [(0, pad), (0, 0)])
-                               for c in (X, Y, Z))
-                vec = (X, Y, Z)
-                tables[nm] = vec
-            return vec
+                hit = sctx.table_from_limbs(enc.xs, enc.ys, enc.inf)
+                tables[nm] = hit
+            return hit
 
-        with span("hybrid_dispatch"):
-            dz = mctx.digits_from_limbs(z_limbs)
-            nwin = dz.shape[0]
-            futs = {"_mctx": mctx}
+        return sctx, table
+
+    def _stream_launch(self, pk, z_limbs, n_inst):
+        """Dispatch the a/b1/l G1 MSMs to the TPU; returns {name:
+        window-sum device arrays} (plus '_sctx') or None."""
+        if z_limbs is None or len(pk.a_query) < self.STREAM_MIN:
+            return None
+        ct = self._stream_ctx_tables(pk)
+        if ct is None:
+            return None
+        import numpy as np
+
+        sctx, table = ct
+        futs = {"_sctx": sctx}
+        with span("stream_dispatch"):
             for nm, col0 in (("a_query", 0), ("b_g1_query", 0),
                              ("l_query", n_inst)):
-                vec = table(nm)
-                if vec is None:
+                tab = table(nm)
+                if tab is None:
                     continue
+                XY, inf = tab
                 qn = len(getattr(pk, nm))
-                d = dz[:, col0 : col0 + qn]
-                if d.shape[1] < m:
-                    d = np.pad(d, [(0, 0), (0, m - d.shape[1])])
-                futs[nm] = mctx._window_sums_jit(vec, jnp.asarray(d))
+                sl = np.ascontiguousarray(z_limbs[col0: col0 + qn])
+                sched = sctx.schedule_any(sl, inf)
+                futs[nm] = sctx.window_sums_async(XY, sched)
         return futs
 
+    def _stream_launch_h(self, pk, futs, h_limbs):
+        """Dispatch the h-query MSM once the quotient limbs land."""
+        import numpy as np
+
+        if futs is None:
+            return False
+        ct = self._stream_ctx_tables(pk)
+        if ct is None:
+            return False
+        sctx, table = ct
+        tab = table("h_query")
+        if tab is None:
+            return False
+        XY, inf = tab
+        qn = len(pk.h_query)
+        with span("stream_dispatch_h"):
+            sl = np.ascontiguousarray(h_limbs[:qn])
+            sched = sctx.schedule_any(sl, inf)
+            futs["h_query"] = sctx.window_sums_async(XY, sched)
+        return True
+
     @staticmethod
-    def _hybrid_collect(futs, nm):
+    def _stream_collect(futs, nm):
         """Block on one dispatched MSM and Horner-combine on host."""
         import numpy as np
 
         ws = futs[nm]
-        mctx = futs["_mctx"]
-        return mctx.horner_from_window_sums(
-            tuple(np.asarray(c) for c in ws))
+        sctx = futs["_sctx"]
+        return sctx.horner_host(tuple(np.asarray(c) for c in ws))
 
     # ------------------------------------------------------------------
     def _synthesize(self, circuit) -> ConstraintSystem:
@@ -523,7 +535,7 @@ class Groth16:
                     # dispatch the G1 query MSMs to the TPU NOW — they
                     # only need z; the device drains its queue while the
                     # host runs matvec + the quotient pipeline
-                    hybrid = self._hybrid_launch(pk, z_limbs, n_inst)
+                    hybrid = self._stream_launch(pk, z_limbs, n_inst)
                     with span("matvec"):
                         a_l, b_l, c_l = mats.apply_all_limbs(z_limbs)
                     zh_inv = pow(
@@ -591,35 +603,46 @@ class Groth16:
         def msm_q(name, scalars, spn, digits=None):
             if hybrid is not None and name in hybrid:
                 with span(spn + "_tpu"):
-                    return self._hybrid_collect(hybrid, name)
+                    return self._stream_collect(hybrid, name)
             with span(spn):
                 return self._msm_any(host_query(pk, name), scalars, digits)
 
-        # Host-side MSMs run FIRST: in hybrid mode the TPU is still
-        # draining its a/b1/l window-sum queue while the host tier runs
-        # the G2 and h MSMs; the collects below then block only on
-        # whatever the device hasn't finished.
+        import numpy as np
+
+        # The h-query MSM joins the TPU stream queue as soon as the
+        # quotient limbs land; the host G2 MSM below then overlaps all
+        # four device-side G1 MSMs.
+        h_streamed = (isinstance(h, np.ndarray)
+                      and self._stream_launch_h(pk, hybrid, h))
+
+        # Host-side MSMs run FIRST: the TPU is still draining its
+        # a/b1/l/h queue while the host tier runs the G2 MSM; the
+        # collects below then block only on whatever the device hasn't
+        # finished.
         # z_digits only pairs with the FULL z vector (a/b1/b2); l_query's
         # scalars are z[n_inst:], whose digits do not align
         mb2 = msm_q("b_g2_query", zq, "msm_b2", z_digits)
-        hq = host_query(pk, "h_query")
         from ...native import EncodedPoints
 
         mh = None
-        if isinstance(hq, (DevicePointVec, EncodedPoints)):
-            with span("msm_h"):
-                mh = self._msm_any(hq, h)
+        if h_streamed:
+            with span("msm_h_tpu"):
+                mh = self._stream_collect(hybrid, "h_query")
         else:
-            import numpy as np
-
-            if isinstance(h, np.ndarray):
-                from ...native import limbs_to_ints
-
-                h = limbs_to_ints(h)
-            nz = [(pt, co) for pt, co in zip(hq, h) if co]
-            if nz:
+            hq = host_query(pk, "h_query")
+            if isinstance(hq, (DevicePointVec, EncodedPoints)):
                 with span("msm_h"):
-                    mh = self.msm([a for a, _ in nz], [b for _, b in nz])
+                    mh = self._msm_any(hq, h)
+            else:
+                if isinstance(h, np.ndarray):
+                    from ...native import limbs_to_ints
+
+                    h = limbs_to_ints(h)
+                nz = [(pt, co) for pt, co in zip(hq, h) if co]
+                if nz:
+                    with span("msm_h"):
+                        mh = self.msm([a for a, _ in nz],
+                                      [b for _, b in nz])
         ma = msm_q("a_query", zq, "msm_a", z_digits)
         mb1 = msm_q("b_g1_query", zq, "msm_b1", z_digits)
         ml = msm_q("l_query", zq[n_inst:], "msm_l")

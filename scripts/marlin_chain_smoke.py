@@ -40,7 +40,10 @@ def main():
         print(f"[{time.time()-t_start:8.1f}s] {name}: {dt:.1f}s", flush=True)
         return time.time()
 
-    pcd = configs.toy_marlin()
+    real = "--real" in sys.argv
+    # --real: the REAL MNT4-298/MNT6-298 cycle (reference
+    # tests/mnt4_marlin.rs:141-204 runs there); default: toy cycle
+    pcd = configs.mnt4_marlin() if real else configs.toy_marlin()
     F = pcd.ic.main_field
     pred = Pred(F)
     rng = ChaChaRng(b"marlin chain smoke")
@@ -83,7 +86,9 @@ def main():
               stats["u_step2_verifies"], stats["u_neg_rejects"], flush=True)
 
     stats["total_s"] = round(time.time() - t_start, 1)
-    with open("/root/repo/marlin_chain_smoke.json", "w") as f:
+    out = ("/root/repo/real_cycle_smoke_marlin.json" if real
+           else "/root/repo/marlin_chain_smoke.json")
+    with open(out, "w") as f:
         json.dump(stats, f, indent=1)
     print(json.dumps(stats))
 

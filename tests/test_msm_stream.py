@@ -1,0 +1,152 @@
+"""Stream MSM (ops/msm_stream.py) vs host oracles — toy cycle so the
+f32 limb kernels compile in seconds on XLA-CPU (conftest forces CPU).
+
+Covers the D4 prover hot loop (reference ark-groth16 prove MSMs,
+ec_cycle_pcd/mod.rs:171,179): signed-digit correctness, scheduler
+placement invariants (numpy and native C++ emitters), and the full
+pipeline against a naive host sum with infinities / zero scalars /
+duplicate points / r-1 scalars.
+"""
+
+import numpy as np
+import pytest
+
+from pcd_tpu.curves import models as M
+from pcd_tpu.ops.msm_stream import StreamMSMCtx
+
+
+@pytest.fixture(scope="module")
+def toy():
+    return M.toy_cycle().main
+
+
+@pytest.fixture(scope="module")
+def sctx(toy):
+    return StreamMSMCtx(toy.g1, toy.Fr.BITS, c=6, lanes=128)
+
+
+def _points(toy, n):
+    g = toy.g1_gen
+    pts = []
+    cur = g
+    for _ in range(n):
+        pts.append(cur)
+        cur = cur + g
+    return pts
+
+
+def test_digits_signed_reconstruct(sctx, toy):
+    r = toy.g1.order
+    rng = np.random.default_rng(0)
+    scalars = [int(x) % r for x in rng.integers(0, 1 << 62, size=23)]
+    scalars += [0, 1, r - 1, r // 2]
+    limbs = sctx.limb_rows(scalars, nbytes=8)
+    mags, signs = sctx.digits_signed(limbs)
+    for j, s in enumerate(scalars):
+        v = 0
+        for w in range(sctx.nwin):
+            d = int(mags[w, j])
+            if signs[w, j]:
+                d = -d
+            v += d << (w * sctx.c)
+        assert v == s, f"digit recombination mismatch for scalar {j}"
+
+
+def test_schedule_invariants(sctx, toy):
+    """Every nonzero digit is placed exactly once; loads match; bidx
+    points at the first lane of the smallest nonempty bucket >= j."""
+    r = toy.g1.order
+    rng = np.random.default_rng(1)
+    n = 77
+    scalars = [int(x) % r for x in rng.integers(0, 1 << 62, size=n)]
+    limbs = sctx.limb_rows(scalars, nbytes=8)
+    mags, signs = sctx.digits_signed(limbs)
+    inf = np.zeros(n, bool)
+    inf[3] = True
+    sched = sctx.schedule(mags, signs, inf)
+    L = sctx.L
+    for w in range(sctx.nwin):
+        mag = np.where(inf, 0, mags[w])
+        # multiset of placed (point, sign) pairs == nonzero digits
+        placed = {}
+        for t in range(sched.T):
+            for lane in range(L):
+                if t < sched.loads[w, lane]:
+                    v = int(sched.perm[w, t, lane])
+                    placed[(v & 0x7FFFFFFF, v >> 31)] = placed.get(
+                        (v & 0x7FFFFFFF, v >> 31), 0) + 1
+        expect = {}
+        for i in range(n):
+            if mag[i]:
+                k = (i, int(signs[w, i]))
+                expect[k] = expect.get(k, 0) + 1
+        assert placed == expect, f"window {w} placement mismatch"
+        assert int(sched.loads[w].sum()) == int((mag != 0).sum())
+
+
+def test_native_schedule_matches_numpy_semantics(sctx, toy):
+    from pcd_tpu import native
+
+    if not native.available():
+        pytest.skip("native tier unavailable")
+    r = toy.g1.order
+    rng = np.random.default_rng(2)
+    n = 130
+    scalars = [int(x) % r for x in rng.integers(0, 1 << 62, size=n)]
+    limbs = np.ascontiguousarray(
+        sctx.limb_rows(scalars, nbytes=8).astype("<u8"))
+    out = native.msm_schedule(limbs, None, sctx.c, sctx.nwin, sctx.L,
+                              sctx.B)
+    assert out is not None
+    perm, loads, bidx, T = out
+    mags, signs = sctx.digits_signed(limbs)
+    for w in range(sctx.nwin):
+        nz = int((mags[w] != 0).sum())
+        assert int(loads[w].sum()) == nz
+        # every placed entry is a real (idx, sign) pair
+        for t in range(T):
+            for lane in range(sctx.L):
+                if t < loads[w, lane]:
+                    v = int(perm[w, t, lane])
+                    i = v & 0x7FFFFFFF
+                    assert mags[w, i] != 0
+                    assert (v >> 31) == int(signs[w, i])
+
+
+def test_msm_oracle_full(sctx, toy):
+    r = toy.g1.order
+    rng = np.random.default_rng(3)
+    n = 61
+    pts = _points(toy, n)
+    pts[4] = toy.g1.infinity()
+    pts[10] = pts[7]
+    scalars = [int(x) % r for x in rng.integers(0, 1 << 62, size=n)]
+    scalars[0] = 0
+    scalars[1] = r - 1
+    scalars[2] = 1
+    got = sctx.msm(pts, scalars)
+    exp = toy.g1.infinity()
+    for p, s in zip(pts, scalars):
+        exp = exp + p * s
+    assert got == exp
+
+
+def test_msm_all_zero_scalars(sctx, toy):
+    pts = _points(toy, 9)
+    got = sctx.msm(pts, [0] * 9)
+    assert got.is_infinity()
+
+
+def test_msm_more_points_than_lanes(toy):
+    """n > lanes forces multi-round lanes (T > 1) and bucket collisions."""
+    sctx = StreamMSMCtx(toy.g1, toy.Fr.BITS, c=4, lanes=128)
+    r = toy.g1.order
+    rng = np.random.default_rng(4)
+    n = 300
+    pts = _points(toy, n)
+    scalars = [int(x) % r for x in rng.integers(0, 1 << 62, size=n)]
+    got = sctx.msm(pts, scalars)
+    exp = toy.g1.infinity()
+    for p, s in zip(pts, scalars):
+        exp = exp + p * s
+    assert got == exp
