@@ -138,7 +138,7 @@ class _MaddSpec:
 
     @staticmethod
     def _pick_off(bound: float) -> int:
-        for m in (4, 32, 96):
+        for m in (4, 8, 16, 32, 96):
             if m >= bound + 2.0:
                 return m
         raise AssertionError(f"no offset covers {bound}p")
@@ -483,6 +483,15 @@ class EC32Ctx:
             out = tuple(c[:, :R] for c in out)
         return out
 
+    @property
+    def kw(self) -> int:
+        return self.fp.kp
+
+    def neg_y_slab(self, Y):
+        """(n, KP) slab of table Y coords -> 4p - Y (settled)."""
+        fp = self.fp
+        return fp.settle(jnp.asarray(fp.off4p()) - Y, rounds=2)
+
     # -- mixed addition (stream-MSM hot loop) ------------------------------
     MADD_BLOCK = 256
 
@@ -755,6 +764,32 @@ class _ExtOpsT:
     def sub(self, a, b):
         return tuple(self.fp.subT(x, y, self.off) for x, y in zip(a, b))
 
+    def cmul(self, CTs, x):
+        """Multiply by an extension-field CONSTANT given as d Toeplitz
+        matrices (k2p, kp) bf16 of its Montgomery components.  All d*d
+        component wides ride the MXU; combined per output component
+        (positively — no wide offsets needed) and reduced once each."""
+        fp = self.fp
+        d, nr = self.d, self.nr
+        xs = [fp.settleT(c, rounds=2).astype(jnp.bfloat16) for c in x]
+        # settle each wide BEFORE the nr scale: raw matmul limb sums reach
+        # ~2^21 and nr*2^21 would exceed f32's exact-integer range
+        wide = [[fp.settleT(
+                    jnp.dot(CTs[i], xs[j],
+                            preferred_element_type=jnp.float32))
+                 for j in range(d)] for i in range(d)]
+        out = []
+        for m in range(d):
+            acc = None
+            for i in range(d):
+                for j in range(d):
+                    if (i + j) % d != m:
+                        continue
+                    t = wide[i][j] if i + j < d else nr * wide[i][j]
+                    acc = t if acc is None else acc + t
+            out.append(fp.redcT(fp.settleT(acc), self.N0T, self.P0T))
+        return tuple(out)
+
 
 class EC32ExtCtx:
     """G2 curves (Fp2/Fp3 coordinates) on the f32 path: a coordinate is a
@@ -956,6 +991,363 @@ class EC32ExtCtx:
         f = self.fp.select
         return (f(cond, P[0], Q[0]), f(cond, P[1], Q[1]),
                 f(cond, P[2], Q[2]))
+
+    # -- stream-MSM kernels (mirror EC32Ctx; coordinates are (R, D*KP)
+    # slabs row-major / (D*KP, R) transposed) ------------------------------
+    ADD_COLS_BLOCK = 256
+    MADD_BLOCK = 128
+
+    def neg_y_slab(self, Y):
+        """(n, D*KP) slab -> 4p - Y per prime component (settled;
+        carries must NOT cross component boundaries)."""
+        fp = self.fp
+        n = Y.shape[0]
+        comps = Y.reshape(n, self.d, fp.kp)
+        out = fp.settle(jnp.asarray(fp.off4p()) - comps, rounds=2)
+        return out.reshape(n, self.d * fp.kp)
+
+    def encode_from_limbs(self, xs, ys, inf):
+        """Canonical u64 limb coordinate arrays in the native
+        EncodedPoints layout ((n, D*NL) per coordinate, little-endian
+        per component) -> device-resident f32 Montgomery (X, Y, Z)
+        slabs (n, D*KP)."""
+        fp = self.fp
+        d = self.d
+        n = xs.shape[0]
+
+        def to_f32(a):
+            a = np.ascontiguousarray(a).view(np.uint8).reshape(n, d, -1)
+            a = a[:, :, : fp.kp].astype(np.float32)
+            if a.shape[2] < fp.kp:
+                a = np.pad(a, [(0, 0), (0, 0), (0, fp.kp - a.shape[2])])
+            return jnp.asarray(a.reshape(n, d * fp.kp))
+
+        r2 = np.zeros(fp.kp, dtype=np.float32)
+        r2[: fp.k] = ints_to_f32_limbs_np(
+            [pow(2, 2 * 8 * fp.k, fp.p)], fp.k)[0]
+        one = np.zeros(d * fp.kp, dtype=np.float32)
+        one[: fp.k] = fp.one_mont
+
+        @jax.jit
+        def mont_encode(Xc, Yc, fin):
+            c = jnp.asarray(r2)
+
+            def enc(v):
+                comps = v.reshape(n, d, fp.kp)
+                return fp.mul(comps, jnp.broadcast_to(
+                    c, comps.shape)).reshape(n, d * fp.kp)
+
+            X = enc(Xc)
+            Y = enc(Yc)
+            onev = jnp.broadcast_to(jnp.asarray(one), X.shape)
+            zero = jnp.zeros_like(X)
+            m = fin[:, None]
+            return (jnp.where(m, zero, X), jnp.where(m, onev, Y),
+                    jnp.where(m, zero, onev))
+
+        return mont_encode(to_f32(xs), to_f32(ys),
+                           jnp.asarray(np.asarray(inf, dtype=bool)))
+
+    @property
+    def kw(self) -> int:
+        return self.d * self.fp.kp
+
+    def _madd_consts(self):
+        """d-tuples of (K2P, KP) Toeplitz matrices for a, b3, a2."""
+        fp = self.fp
+        spec = _MaddSpecExt(self.nr_int, self.d)
+        carr = {}
+        for nm, enc in (("a", self.curve.a),
+                        ("b3", self.curve.b + self.curve.b + self.curve.b),
+                        ("a2", self.curve.a * self.curve.a)):
+            cs = (enc.to_prime_coeffs() if hasattr(enc, "to_prime_coeffs")
+                  else [enc])
+            carr[nm] = tuple(
+                jnp.asarray(fp.const_toeplitz_T(int(c.n) * fp.R % fp.p),
+                            dtype=jnp.bfloat16) for c in cs)
+        return spec, carr
+
+    def identity_cols(self, width: int):
+        fp = self.fp
+        one = np.zeros((self.kw, 1), dtype=np.float32)
+        one[: fp.k, 0] = fp.one_mont
+        return (jnp.zeros((self.kw, width), dtype=jnp.float32),
+                jnp.broadcast_to(jnp.asarray(one), (self.kw, width)),
+                jnp.zeros((self.kw, width), dtype=jnp.float32))
+
+    def _ext_fld(self, B: int):
+        fp = self.fp
+
+        def full(row, rows):
+            return jnp.asarray(
+                np.broadcast_to(np.asarray(row, dtype=np.float32
+                                           ).reshape(-1, 1),
+                                (rows, B)).copy())
+
+        N0T = jnp.asarray(fp.N0.T.copy(), dtype=jnp.bfloat16)
+        P0T = jnp.asarray(fp.P0.T.copy(), dtype=jnp.bfloat16)
+        off = full(fp.off4p(), fp.kp)
+        wideW = full(fp.wide_p_offset(), fp.k2p)
+        return N0T, P0T, off, wideW
+
+    def add_cols(self, P, Q):
+        """Complete ext add on TRANSPOSED (D*KP, R) slabs."""
+        fp = self.fp
+        kw, R = P[0].shape
+        if jax.default_backend() != "tpu":
+            fld = (jnp.asarray(fp.N0.T.copy(), dtype=jnp.bfloat16),
+                   jnp.asarray(fp.P0.T.copy(), dtype=jnp.bfloat16),
+                   jnp.asarray(fp.off4p().reshape(-1, 1)),
+                   jnp.asarray(fp.wide_p_offset().reshape(-1, 1)))
+            ops = _ExtOpsT(fp, self.d, self.nr_int, fld)
+            consts = tuple(
+                tuple(jnp.asarray(arr[i].reshape(-1, 1))
+                      for i in range(self.d))
+                for arr in (self.a_enc, self.b3_enc, self.a2_enc))
+            Rt = _rcb_add_ext(ops, consts,
+                              tuple(self._splitT(c) for c in P),
+                              tuple(self._splitT(c) for c in Q))
+            return tuple(jnp.concatenate(c, axis=0) for c in Rt)
+        from jax.experimental import pallas as pl
+
+        B = self.ADD_COLS_BLOCK
+        m = -(-R // B) * B
+        if m != R:
+            P = tuple(jnp.pad(c, [(0, 0), (0, m - R)]) for c in P)
+            Q = tuple(jnp.pad(c, [(0, 0), (0, m - R)]) for c in Q)
+        N0T, P0T, off, wideW = self._ext_fld(B)
+
+        def full(row):
+            return jnp.asarray(
+                np.broadcast_to(np.asarray(row, dtype=np.float32
+                                           ).reshape(-1, 1),
+                                (self.fp.kp, B)).copy())
+
+        cst = [full(arr[i]) for arr in (self.a_enc, self.b3_enc,
+                                        self.a2_enc)
+               for i in range(self.d)]
+        d = self.d
+        fp_ = fp
+
+        def kernel(x1, y1, z1, x2, y2, z2, n0, p0, offr, wrow, *rest):
+            cs = rest[: 3 * d]
+            ox, oy, oz = rest[3 * d:]
+            ops = _ExtOpsT(fp_, d, self.nr_int,
+                           (n0[:], p0[:], offr[:], wrow[:]))
+            consts = (tuple(c[:] for c in cs[0:d]),
+                      tuple(c[:] for c in cs[d: 2 * d]),
+                      tuple(c[:] for c in cs[2 * d: 3 * d]))
+            Pt = tuple(self._splitT(v[:]) for v in (x1, y1, z1))
+            Qt = tuple(self._splitT(v[:]) for v in (x2, y2, z2))
+            Rt = _rcb_add_ext(ops, consts, Pt, Qt)
+            for ref, comp in zip((ox, oy, oz), Rt):
+                ref[:] = jnp.concatenate(comp, axis=0)
+
+        spec = pl.BlockSpec((kw, B), lambda i: (0, i))
+
+        def whole(arr):
+            return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim)
+
+        out_shape = [jax.ShapeDtypeStruct((kw, m), jnp.float32)] * 3
+        fn = pl.pallas_call(
+            kernel,
+            grid=(m // B,),
+            in_specs=[spec] * 6 + [whole(N0T), whole(P0T), whole(off),
+                                   whole(wideW)] + [whole(c) for c in cst],
+            out_specs=[spec] * 3,
+            out_shape=out_shape,
+        )
+        out = tuple(fn(*P, *Q, N0T, P0T, off, wideW, *cst))
+        if m != R:
+            out = tuple(c[:, :R] for c in out)
+        return out
+
+    def madd_accumulate(self, G, loads):
+        """Ext mirror of EC32Ctx.madd_accumulate: G (T, 2*D*KP, L)
+        transposed sign-resolved gathered stream, loads (1, L) int32;
+        returns 3 x (D*KP, L) lane accumulators."""
+        T, W2, L = G.shape
+        kw = self.kw
+        kp = self.fp.kp
+        assert W2 == 2 * kw
+        spec, carr_mats = self._madd_consts()
+        if jax.default_backend() != "tpu":
+            fp = self.fp
+            fld = (jnp.asarray(fp.N0.T.copy(), dtype=jnp.bfloat16),
+                   jnp.asarray(fp.P0.T.copy(), dtype=jnp.bfloat16),
+                   jnp.asarray(fp.off4p().reshape(-1, 1)),
+                   jnp.asarray(fp.wide_p_offset().reshape(-1, 1)))
+            carr = dict(carr_mats)
+            carr["offX3"] = jnp.asarray(
+                fp.off_mult_p(spec.offX3).reshape(-1, 1))
+            carr["offT2n"] = jnp.asarray(
+                fp.off_mult_p(spec.offT2n).reshape(-1, 1))
+            ops = _ExtOpsT(fp, self.d, self.nr_int, fld)
+            active = (jax.lax.broadcasted_iota(jnp.int32, (T, L), 0)
+                      < loads.reshape(1, L))
+
+            def step(acc, xs):
+                g, av = xs
+                Pt = tuple(self._splitT(c) for c in acc)
+                Qt = (self._splitT(g[:kw]), self._splitT(g[kw:]))
+                Rt = _rcb_madd_extT(ops, spec, carr, Pt, Qt,
+                                    av.reshape(1, L))
+                return tuple(jnp.concatenate(c, axis=0) for c in Rt), None
+
+            acc0 = self.identity_cols(L)
+            acc, _ = jax.lax.scan(step, acc0, (G, active))
+            return acc
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        fp = self.fp
+        B = self.MADD_BLOCK
+        assert L % B == 0
+        N0T, P0T, off4, wideW = self._ext_fld(B)
+
+        def full(row):
+            return jnp.asarray(
+                np.broadcast_to(np.asarray(row, dtype=np.float32
+                                           ).reshape(-1, 1),
+                                (kp, B)).copy())
+
+        offx3 = full(fp.off_mult_p(spec.offX3))
+        offt2n = full(fp.off_mult_p(spec.offT2n))
+        one_r = np.zeros(kw, dtype=np.float32)
+        one_r[: fp.k] = fp.one_mont
+        onev = jnp.asarray(
+            np.broadcast_to(one_r.reshape(-1, 1), (kw, B)).copy())
+        mats = [m for nm in ("a", "b3", "a2") for m in carr_mats[nm]]
+        d = self.d
+        nT = T
+        self_ = self
+
+        def kernel(g, ld, n0, p0, offr, wrow, ox3, ot2, onec, *rest):
+            mats_r = rest[: 3 * d]
+            ox, oy, oz = rest[3 * d: 3 * d + 3]
+            ax, ay, az = rest[3 * d + 3:]
+            t = pl.program_id(1)
+
+            @pl.when(t == 0)
+            def _():
+                ax[:] = jnp.zeros_like(ax)
+                ay[:] = onec[:]
+                az[:] = jnp.zeros_like(az)
+
+            ops = _ExtOpsT(fp, d, self_.nr_int,
+                           (n0[:], p0[:], offr[:], wrow[:]))
+            carr = {"offX3": ox3[:], "offT2n": ot2[:],
+                    "a": tuple(m[:] for m in mats_r[0:d]),
+                    "b3": tuple(m[:] for m in mats_r[d: 2 * d]),
+                    "a2": tuple(m[:] for m in mats_r[2 * d: 3 * d])}
+            gt = g[0]
+            Pt = tuple(self_._splitT(c[:]) for c in (ax, ay, az))
+            Qt = (self_._splitT(gt[:kw]), self_._splitT(gt[kw:]))
+            act = (t < ld[:]).astype(jnp.float32)
+            Rt = _rcb_madd_extT(ops, spec, carr, Pt, Qt, act)
+            joined = tuple(jnp.concatenate(c, axis=0) for c in Rt)
+            ax[:], ay[:], az[:] = joined
+
+            @pl.when(t == nT - 1)
+            def _():
+                ox[:], oy[:], oz[:] = joined
+
+        gspec = pl.BlockSpec((1, 2 * kw, B), lambda l, t: (t, 0, l))
+        lspec = pl.BlockSpec((1, B), lambda l, t: (0, l))
+        ospec = pl.BlockSpec((kw, B), lambda l, t: (0, l))
+
+        def whole(arr):
+            return pl.BlockSpec(arr.shape, lambda l, t: (0,) * arr.ndim)
+
+        out_shape = [jax.ShapeDtypeStruct((kw, L), jnp.float32)] * 3
+        fn = pl.pallas_call(
+            kernel,
+            grid=(L // B, T),
+            in_specs=[gspec, lspec, whole(N0T), whole(P0T), whole(off4),
+                      whole(wideW), whole(offx3), whole(offt2n),
+                      whole(onev)] + [whole(m) for m in mats],
+            out_specs=[ospec] * 3,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((kw, B), jnp.float32)] * 3,
+        )
+        return tuple(fn(G, loads.astype(jnp.int32).reshape(1, L), N0T,
+                        P0T, off4, wideW, offx3, offt2n, onev, *mats))
+
+
+class _MaddSpecExt:
+    """Offsets + lazy-class bound checks for the extension-field mixed
+    add.  All constant muls ride the MXU (outputs ~2p/component), so the
+    offsets are small; the asserts pin the Karatsuba wide-offset (512p^2
+    must cover every subtracted t00+t11) and the Montgomery wide bound
+    (combined wides < R*p, R/p >= 2^14 for 298-bit moduli)."""
+
+    def __init__(self, nr: int, d: int):
+        ACC = 6.0
+        T4 = 2.0 + ACC
+        zp = 4.0                                   # cmul(a,t4)+cmul(b3,Z1)
+        self.offX3 = _MaddSpec._pick_off(zp)
+        x3 = 2.0 + self.offX3
+        z3 = 2.0 + zp
+        self.offT2n = _MaddSpec._pick_off(2.0)
+        t2n = 2.0 + self.offT2n
+        t4n = 2.0 + t2n
+        t1n = 6.0 + 2.0
+        t3 = 2.0 + 8.0
+        t5 = 2.0 + ACC
+        pairs = [(ACC, 1.0), (ACC + 4.0, 2.0), (x3, z3), (t1n, t4n),
+                 (t3, x3), (t5, t4n), (t5, z3), (t3, t1n), (T4, 1.0),
+                 (ACC + 2.0, ACC + 2.0)]
+        worst = max(c1 * c2 for c1, c2 in pairs)
+        for c1, c2 in pairs:
+            # Karatsuba cross-term subtraction stays >= 0 under W=512p^2
+            assert 2.0 * c1 * c2 <= 512.0, (c1, c2)
+        # Montgomery wide bound per output component (see _ExtOpsT.mul)
+        if d == 2:
+            assert (1 + nr) * worst < 16000 and 4 * worst + 512 < 16000
+        else:
+            assert worst + nr * (4 * worst + 512) < 16000
+            assert (5 + nr) * worst + 512 < 16000
+
+
+def _rcb_madd_extT(ops: _ExtOpsT, spec: _MaddSpecExt, carr, P, Q,
+                   act_row):
+    """Complete MIXED addition (Z2=1) over extension coords, transposed
+    layout: every coordinate is a tuple of d (K,B) prime components.
+    carr: {'a','b3','a2': d-tuples of Toeplitz mats; 'offX3','offT2n':
+    (K,B) rows; 'off4': (K,B)}."""
+    fp = ops.fp
+    X1, Y1, Z1 = P
+    X2, Y2 = Q
+    mul, add, sub = ops.mul, ops.add, ops.sub
+
+    def cmul(nm, x):
+        return ops.cmul(carr[nm], x)
+
+    def sub_off(a, b, off):
+        return tuple(fp.settleT(x - y + off, rounds=2)
+                     for x, y in zip(a, b))
+
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t3 = sub(sub(mul(add(X1, Y1), add(X2, Y2)), t0), t1)
+    t4 = add(mul(X2, Z1), X1)
+    t5 = add(mul(Y2, Z1), Y1)
+    Zp = add(cmul("a", t4), cmul("b3", Z1))
+    X3 = sub_off(t1, Zp, carr["offX3"])
+    Z3 = add(t1, Zp)
+    Y3 = mul(X3, Z3)
+    t1n = add(add(add(t0, t0), t0), cmul("a", Z1))
+    t2n = sub_off(cmul("a", t0), cmul("a2", Z1), carr["offT2n"])
+    t4n = add(cmul("b3", t4), t2n)
+    Y3 = add(Y3, mul(t1n, t4n))
+    X3o = sub(mul(t3, X3), mul(t5, t4n))
+    Z3o = add(mul(t5, Z3), mul(t3, t1n))
+    act = act_row > 0
+
+    def sel(nw, old):
+        return tuple(jnp.where(act, a, b) for a, b in zip(nw, old))
+
+    return sel(X3o, X1), sel(Y3, Y1), sel(Z3o, Z1)
 
 
 def _rcb_add_ext(ops: _ExtOpsT, consts, P, Q):

@@ -63,7 +63,9 @@ class StreamSchedule:
 
 
 class StreamMSMCtx:
-    """curve must have prime-field coordinates (G1) for now."""
+    """Prime-coordinate (G1) and Fp2/Fp3 (G2) curves; the ext path uses
+    the same scheduler and pipeline with D*KP-wide coordinate slabs and
+    the Karatsuba ext kernels (ec32.EC32ExtCtx)."""
 
     def __init__(self, curve, scalar_bits: int, c: int = 12,
                  lanes: int = 8192):
@@ -183,14 +185,14 @@ class StreamMSMCtx:
         tunneled dev box host->device moves at ~50 MB/s and would
         otherwise serialize ~0.5 s ahead of the device work."""
         ec = self.ec
-        kp = ec.fp.kp
+        kw = ec.kw
         T, L = perm_w.shape
         n2 = XY.shape[0] // 2   # doubled table: rows n..2n-1 hold -P
         # sign bit selects the negated-Y half of the doubled table —
         # the whole signed-digit negation costs one integer add here
         idx = ((perm_w & jnp.uint32(0x7FFFFFFF))
                + (perm_w >> 31) * jnp.uint32(n2)).astype(jnp.int32)
-        G = jnp.take(XY, idx.reshape(-1), axis=0).reshape(T, L, 2 * kp)
+        G = jnp.take(XY, idx.reshape(-1), axis=0).reshape(T, L, 2 * kw)
         # one XLA transpose to the limbs-on-sublanes kernel layout
         Gt = jnp.transpose(G, (0, 2, 1))
         return ec.madd_accumulate(Gt, loads_w)
@@ -205,9 +207,9 @@ class StreamMSMCtx:
         fp = ec.fp
         L, B = self.L, self.B
         nwin = accs[0].shape[0]
-        kp = fp.kp
+        kw = ec.kw
         R = nwin * L
-        U = tuple(jnp.transpose(a, (1, 0, 2)).reshape(kp, R)
+        U = tuple(jnp.transpose(a, (1, 0, 2)).reshape(kw, R)
                   for a in accs)
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape(R) % L
         s = 1
@@ -227,12 +229,12 @@ class StreamMSMCtx:
         Q = tuple(jnp.take(c, bidx_flat, axis=0) for c in Upad)
         w = B
         while w > 1:
-            Q = tuple(c.reshape(nwin, w, kp) for c in Q)
+            Q = tuple(c.reshape(nwin, w, kw) for c in Q)
             Q = ec.add(
-                tuple(c[:, : w // 2].reshape(-1, kp) for c in Q),
-                tuple(c[:, w // 2:].reshape(-1, kp) for c in Q))
+                tuple(c[:, : w // 2].reshape(-1, kw) for c in Q),
+                tuple(c[:, w // 2:].reshape(-1, kw) for c in Q))
             w //= 2
-        return tuple(c.reshape(nwin, kp) for c in Q)
+        return tuple(c.reshape(nwin, kw) for c in Q)
 
     # -- host tail ---------------------------------------------------------
     def horner_host(self, wsn) -> object:
@@ -252,8 +254,7 @@ class StreamMSMCtx:
         index add instead of a masked negate pass over the gathered
         stream.  Pow2 padding keeps the gather/madd program shapes
         stable across the prover's different query-table sizes."""
-        fp = self.ec.fp
-        off4 = jnp.asarray(fp.off4p())
+        ec = self.ec
         n = X.shape[0]
         m = 1
         while m < n:
@@ -266,7 +267,7 @@ class StreamMSMCtx:
                 Yp = jnp.pad(Y, [(0, m - n), (0, 0)])
             else:
                 Xp, Yp = X, Y
-            Yn = fp.settle(off4 - Yp, rounds=2)
+            Yn = ec.neg_y_slab(Yp)
             return jnp.concatenate(
                 [jnp.concatenate([Xp, Yp], axis=1),
                  jnp.concatenate([Xp, Yn], axis=1)], axis=0)
@@ -342,5 +343,5 @@ def stream_ctx(curve, scalar_bits: int, c: int = 12,
 
 
 def stream_ok(curve) -> bool:
-    """Stream MSM currently covers prime-coordinate curves (G1)."""
-    return curve.F.extension_degree_over_prime() == 1
+    """Stream MSM covers prime (G1) and Fp2/Fp3 (G2) coordinates."""
+    return curve.F.extension_degree_over_prime() in (1, 2, 3)

@@ -215,8 +215,9 @@ class Groth16:
     STREAM_MIN = 100_000
 
     def _stream_ctx_tables(self, pk):
-        """(stream ctx, table getter) or None when the stream tier can't
-        run this prove (no TPU, extension G1 coords, opt-out)."""
+        """(table getter mapping query name -> (stream ctx, XY, inf)) or
+        None when the stream tier can't run this prove (no TPU, opt-out,
+        unsupported coordinate field)."""
         import os
 
         if os.environ.get("PCD_TPU_STREAM", "1") == "0":
@@ -231,7 +232,6 @@ class Groth16:
 
         if not stream_ok(self.cfg.g1):
             return None
-        sctx = stream_ctx(self.cfg.g1, self.Fr.BITS)
         tables = getattr(pk, "_stream_tables", None)
         if tables is None:
             tables = {}
@@ -240,7 +240,13 @@ class Groth16:
         from ..msm_dispatch import host_query
         from ...native import EncodedPoints
 
+        g2_ok = stream_ok(self.cfg.g2)
+
         def table(nm):
+            curve = self.cfg.g2 if nm == "b_g2_query" else self.cfg.g1
+            if nm == "b_g2_query" and not g2_ok:
+                return None
+            sctx = stream_ctx(curve, self.Fr.BITS)
             hit = tables.get(nm)
             if hit is None:
                 enc = host_query(pk, nm)
@@ -248,34 +254,34 @@ class Groth16:
                     return None
                 hit = sctx.table_from_limbs(enc.xs, enc.ys, enc.inf)
                 tables[nm] = hit
-            return hit
+            return (sctx,) + hit
 
-        return sctx, table
+        return table
 
     def _stream_launch(self, pk, z_limbs, n_inst):
-        """Dispatch the a/b1/l G1 MSMs to the TPU; returns {name:
-        window-sum device arrays} (plus '_sctx') or None."""
+        """Dispatch the a/b1/b2/l MSMs to the TPU (G1 via the prime
+        kernels, the G2 b-commit via the Fp2/Fp3 ext kernels); returns
+        {name: (ctx, window-sum device arrays)} or None."""
         if z_limbs is None or len(pk.a_query) < self.STREAM_MIN:
             return None
-        ct = self._stream_ctx_tables(pk)
-        if ct is None:
+        table = self._stream_ctx_tables(pk)
+        if table is None:
             return None
         import numpy as np
 
-        sctx, table = ct
-        futs = {"_sctx": sctx}
+        futs = {}
         with span("stream_dispatch"):
             for nm, col0 in (("a_query", 0), ("b_g1_query", 0),
-                             ("l_query", n_inst)):
+                             ("b_g2_query", 0), ("l_query", n_inst)):
                 tab = table(nm)
                 if tab is None:
                     continue
-                XY, inf = tab
+                sctx, XY, inf = tab
                 qn = len(getattr(pk, nm))
                 sl = np.ascontiguousarray(z_limbs[col0: col0 + qn])
                 sched = sctx.schedule_any(sl, inf)
-                futs[nm] = sctx.window_sums_async(XY, sched)
-        return futs
+                futs[nm] = (sctx, sctx.window_sums_async(XY, sched))
+        return futs or None
 
     def _stream_launch_h(self, pk, futs, h_limbs):
         """Dispatch the h-query MSM once the quotient limbs land."""
@@ -283,19 +289,18 @@ class Groth16:
 
         if futs is None:
             return False
-        ct = self._stream_ctx_tables(pk)
-        if ct is None:
+        table = self._stream_ctx_tables(pk)
+        if table is None:
             return False
-        sctx, table = ct
         tab = table("h_query")
         if tab is None:
             return False
-        XY, inf = tab
+        sctx, XY, inf = tab
         qn = len(pk.h_query)
         with span("stream_dispatch_h"):
             sl = np.ascontiguousarray(h_limbs[:qn])
             sched = sctx.schedule_any(sl, inf)
-            futs["h_query"] = sctx.window_sums_async(XY, sched)
+            futs["h_query"] = (sctx, sctx.window_sums_async(XY, sched))
         return True
 
     @staticmethod
@@ -303,8 +308,7 @@ class Groth16:
         """Block on one dispatched MSM and Horner-combine on host."""
         import numpy as np
 
-        ws = futs[nm]
-        sctx = futs["_sctx"]
+        sctx, ws = futs[nm]
         return sctx.horner_host(tuple(np.asarray(c) for c in ws))
 
     # ------------------------------------------------------------------
