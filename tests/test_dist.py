@@ -107,6 +107,7 @@ def test_dist_matvec_matches_host():
 
 
 @pytest.mark.pcd_toy
+@pytest.mark.heavy
 def test_groth16_prove_with_dist_context():
     """Full Groth16 prove on the device path with the distributed context:
     sharded MSMs + distributed h-poly inside the real prover."""

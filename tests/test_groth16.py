@@ -103,6 +103,7 @@ def test_groth16_many_inputs():
     assert not g16.verify(vk, xs, proof)
 
 
+@pytest.mark.heavy
 def test_groth16_device_backend_matches():
     """Force the device data plane on a toy circuit; proofs must verify and
     interop with host-generated keys must hold."""

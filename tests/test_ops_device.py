@@ -111,6 +111,7 @@ def test_msm_tensor_matches_host(curve_name, n):
     assert got == want
 
 
+@pytest.mark.heavy
 def test_msm_tensor_c16_matches_host():
     """c=16 windows (the large-n default per msm_ctx_for) on a small set."""
     from pcd_tpu.msm.host import msm as host_msm
@@ -167,6 +168,7 @@ def test_fft_tensor_matches_host(field_name, size_hint):
 
 
 @pytest.mark.parametrize("curve_name", ["toy4_g2"])
+@pytest.mark.heavy
 def test_msm_tensor_g2(curve_name):
     from pcd_tpu.msm.host import msm as host_msm
     from pcd_tpu.ops.msm_tensor import msm_ctx
