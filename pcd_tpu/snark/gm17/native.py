@@ -293,6 +293,7 @@ class GM17:
         replayed = cs is None
         domain = EvaluationDomain(self.Fr, pk.domain_size)
         device = self._use_device(2 * n_cons + n_inst)
+        stream_futs: dict = {}
 
         with span("gm17/h_poly"):
             if device:
@@ -362,6 +363,27 @@ class GM17:
                                      _nat.vec_op(p, "add", cz2, cz2), w)
                     zi = np.ascontiguousarray(z_limbs[:n_inst])
                     zisq = _nat.vec_op(p, "mul", zi, zi) if n_inst else zi
+                    # SAP-extended assignment (the MSM scalars) is ready
+                    # BEFORE the quotient: dispatch the a/b/c query MSMs
+                    # to the TPU stream tier now so the device overlaps
+                    # the host hpoly below (h joins the queue after)
+                    z_ext = np.concatenate([z_limbs, w, zisq])
+                    from ..msm_dispatch import (STREAM_MIN, stream_enabled,
+                                                stream_msm_async)
+
+                    if (stream_enabled(self.backend)
+                            and z_ext.shape[0] >= STREAM_MIN):
+                        with span("stream_dispatch"):
+                            for nm, sl, curve in (
+                                    ("a_query", z_ext, self.cfg.g1),
+                                    ("b_query", z_ext, self.cfg.g2),
+                                    ("c_query", z_ext[n_inst:],
+                                     self.cfg.g1)):
+                                fut = stream_msm_async(
+                                    pk, nm, curve, self.Fr.BITS,
+                                    np.ascontiguousarray(sl))
+                                if fut is not None:
+                                    stream_futs[nm] = fut
                     nl = z_limbs.shape[1]
                     a_ev = np.zeros((domain.n, nl), dtype="<u8")
                     c_ev = np.zeros((domain.n, nl), dtype="<u8")
@@ -383,8 +405,15 @@ class GM17:
                         raise SNARKError(
                             "unsatisfied constraint (replayed witness)")
                     h = h_limbs[: domain.n - 1]
-                    # SAP extension of the assignment (MSM scalars)
-                    z = np.concatenate([z_limbs, w, zisq])
+                    if stream_futs:
+                        from ..msm_dispatch import stream_msm_async as _sma
+
+                        with span("stream_dispatch_h"):
+                            fut = _sma(pk, "h_query", self.cfg.g1,
+                                       self.Fr.BITS, h)
+                        if fut is not None:
+                            stream_futs["h_query"] = fut
+                    z = z_ext
                 else:
                     azs = [0] * n_cons
                     bzs = [0] * n_cons
@@ -428,18 +457,23 @@ class GM17:
 
         r = rng.randrange(p)
 
-        from ..msm_dispatch import host_query, msm_any
+        from ..msm_dispatch import host_query, msm_any, stream_collect
 
-        a_part = msm_any(host_query(pk, "a_query"), z, self.Fr.BITS)  # G^{a(s)}
+        def msm_q(nm, scalars):
+            if nm in stream_futs:
+                with span("msm_" + nm + "_tpu"):
+                    return stream_collect(stream_futs[nm])
+            with span("msm_" + nm):
+                return msm_any(host_query(pk, nm), scalars, self.Fr.BITS)
+
+        a_part = msm_q("a_query", z)  # G^{a(s)}
         g_a = pk.vk.alpha_g1 + a_part + pk.delta_g1 * r
-        g_b = pk.vk.alpha_g2 + msm_any(host_query(pk, "b_query"), z,
-                                       self.Fr.BITS) \
-            + pk.delta_g2 * r
+        g_b = pk.vk.alpha_g2 + msm_q("b_query", z) + pk.delta_g2 * r
 
         # C = sum_wit z_i (2 alpha a_i + c_i)/delta + h Z/delta
         #     + r * (2 alpha + 2 a(s)) + r^2 delta
-        c_acc = msm_any(host_query(pk, "c_query"), z[n_inst:], self.Fr.BITS)
-        c_acc = c_acc + msm_any(host_query(pk, "h_query"), h, self.Fr.BITS)
+        c_acc = msm_q("c_query", z[n_inst:])
+        c_acc = c_acc + msm_q("h_query", h)
         c_acc = c_acc + (pk.vk.alpha_g1 * (2 * r % p)) \
             + (a_part * (2 * r % p)) + (pk.delta_g1 * (r * r % p))
         return GM17Proof(a=g_a, b=g_b, c=c_acc)

@@ -214,102 +214,49 @@ class Groth16:
     # Default-ON whenever a TPU is attached (PCD_TPU_STREAM=0 opts out).
     STREAM_MIN = 100_000
 
-    def _stream_ctx_tables(self, pk):
-        """(table getter mapping query name -> (stream ctx, XY, inf)) or
-        None when the stream tier can't run this prove (no TPU, opt-out,
-        unsupported coordinate field)."""
-        import os
-
-        if os.environ.get("PCD_TPU_STREAM", "1") == "0":
-            return None
-        if self.backend == "host":
-            return None
-        from ..msm_dispatch import _device_ok
-
-        if not _device_ok():
-            return None
-        from ...ops.msm_stream import stream_ctx, stream_ok
-
-        if not stream_ok(self.cfg.g1):
-            return None
-        tables = getattr(pk, "_stream_tables", None)
-        if tables is None:
-            tables = {}
-            pk._stream_tables = tables
-
-        from ..msm_dispatch import host_query
-        from ...native import EncodedPoints
-
-        g2_ok = stream_ok(self.cfg.g2)
-
-        def table(nm):
-            curve = self.cfg.g2 if nm == "b_g2_query" else self.cfg.g1
-            if nm == "b_g2_query" and not g2_ok:
-                return None
-            sctx = stream_ctx(curve, self.Fr.BITS)
-            hit = tables.get(nm)
-            if hit is None:
-                enc = host_query(pk, nm)
-                if not isinstance(enc, EncodedPoints):
-                    return None
-                hit = sctx.table_from_limbs(enc.xs, enc.ys, enc.inf)
-                tables[nm] = hit
-            return (sctx,) + hit
-
-        return table
-
     def _stream_launch(self, pk, z_limbs, n_inst):
         """Dispatch the a/b1/b2/l MSMs to the TPU (G1 via the prime
         kernels, the G2 b-commit via the Fp2/Fp3 ext kernels); returns
         {name: (ctx, window-sum device arrays)} or None."""
+        from ..msm_dispatch import stream_enabled, stream_msm_async
+
         if z_limbs is None or len(pk.a_query) < self.STREAM_MIN:
             return None
-        table = self._stream_ctx_tables(pk)
-        if table is None:
+        if not stream_enabled(self.backend):
             return None
-        import numpy as np
-
         futs = {}
         with span("stream_dispatch"):
-            for nm, col0 in (("a_query", 0), ("b_g1_query", 0),
-                             ("b_g2_query", 0), ("l_query", n_inst)):
-                tab = table(nm)
-                if tab is None:
-                    continue
-                sctx, XY, inf = tab
-                qn = len(getattr(pk, nm))
-                sl = np.ascontiguousarray(z_limbs[col0: col0 + qn])
-                sched = sctx.schedule_any(sl, inf)
-                futs[nm] = (sctx, sctx.window_sums_async(XY, sched))
+            for nm, col0, curve in (
+                    ("a_query", 0, self.cfg.g1),
+                    ("b_g1_query", 0, self.cfg.g1),
+                    ("b_g2_query", 0, self.cfg.g2),
+                    ("l_query", n_inst, self.cfg.g1)):
+                fut = stream_msm_async(pk, nm, curve, self.Fr.BITS,
+                                       z_limbs[col0:])
+                if fut is not None:
+                    futs[nm] = fut
         return futs or None
 
     def _stream_launch_h(self, pk, futs, h_limbs):
         """Dispatch the h-query MSM once the quotient limbs land."""
-        import numpy as np
+        from ..msm_dispatch import stream_enabled, stream_msm_async
 
-        if futs is None:
+        if futs is None or not stream_enabled(self.backend):
             return False
-        table = self._stream_ctx_tables(pk)
-        if table is None:
-            return False
-        tab = table("h_query")
-        if tab is None:
-            return False
-        sctx, XY, inf = tab
-        qn = len(pk.h_query)
         with span("stream_dispatch_h"):
-            sl = np.ascontiguousarray(h_limbs[:qn])
-            sched = sctx.schedule_any(sl, inf)
-            futs["h_query"] = (sctx, sctx.window_sums_async(XY, sched))
+            fut = stream_msm_async(pk, "h_query", self.cfg.g1,
+                                   self.Fr.BITS, h_limbs)
+        if fut is None:
+            return False
+        futs["h_query"] = fut
         return True
 
     @staticmethod
     def _stream_collect(futs, nm):
         """Block on one dispatched MSM and Horner-combine on host."""
-        import numpy as np
+        from ..msm_dispatch import stream_collect
 
-        sctx, ws = futs[nm]
-        return sctx.horner_host(tuple(np.asarray(c) for c in ws))
+        return stream_collect(futs[nm])
 
     # ------------------------------------------------------------------
     def _synthesize(self, circuit) -> ConstraintSystem:

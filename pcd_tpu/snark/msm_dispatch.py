@@ -139,6 +139,75 @@ def host_query(owner, name: str):
     return enc
 
 
+# -- stream-MSM offload (shared by the Groth16/GM17 provers) ------------
+STREAM_MIN = 100_000
+
+
+def stream_enabled(backend: str) -> bool:
+    """Stream offload is default-ON whenever a TPU is attached;
+    PCD_TPU_STREAM=0 opts out, backend='host' pins the host tier."""
+    import os
+
+    if os.environ.get("PCD_TPU_STREAM", "1") == "0":
+        return False
+    if backend == "host":
+        return False
+    return _device_ok()
+
+
+def stream_table(pk, nm: str, curve, scalar_bits: int):
+    """(stream ctx, XY table, inf mask) for a pk query table, cached on
+    the pk; None when the table isn't native-encoded or the coordinate
+    field is unsupported."""
+    from ..native import EncodedPoints
+    from ..ops.msm_stream import stream_ctx, stream_ok
+
+    if not stream_ok(curve):
+        return None
+    sctx = stream_ctx(curve, scalar_bits)
+    tables = getattr(pk, "_stream_tables", None)
+    if tables is None:
+        tables = {}
+        try:
+            pk._stream_tables = tables
+        except Exception:
+            return None
+    hit = tables.get(nm)
+    if hit is None:
+        enc = host_query(pk, nm)
+        if not isinstance(enc, EncodedPoints):
+            return None
+        hit = sctx.table_from_limbs(enc.xs, enc.ys, enc.inf)
+        tables[nm] = hit
+    return (sctx,) + hit
+
+
+def stream_msm_async(pk, nm: str, curve, scalar_bits: int, scal_limbs):
+    """Dispatch one query MSM to the TPU stream tier without blocking;
+    returns (ctx, window-sum device arrays) or None.  scal_limbs: (n, NL)
+    u64 canonical limbs (truncated/validated against the table length)."""
+    import numpy as np
+
+    tab = stream_table(pk, nm, curve, scalar_bits)
+    if tab is None:
+        return None
+    sctx, XY, inf = tab
+    qn = len(getattr(pk, nm))
+    sl = np.ascontiguousarray(scal_limbs[:qn])
+    if sl.shape[0] != qn:
+        return None
+    sched = sctx.schedule_any(sl, inf)
+    return (sctx, sctx.window_sums_async(XY, sched))
+
+
+def stream_collect(fut):
+    """Block on a dispatched stream MSM and Horner-combine on host."""
+    import numpy as np
+
+    sctx, ws = fut
+    return sctx.horner_host(tuple(np.asarray(c) for c in ws))
+
+
 def subrange(query, start: int, stop=None):
     from ..native import EncodedPoints
     from ..ops.fixed_base import DevicePointVec
