@@ -1684,7 +1684,7 @@ extern "C" long pcd_msm_schedule(long n, int c, int nwin, long L, long B,
         }
         for (auto &t : ts) t.join();
         for (int w = 0; w < nwin; w++) Tneed = std::max(Tneed, tn[w]);
-        Tneed = (Tneed + 7) / 8 * 8;
+        Tneed = (Tneed + 3) / 4 * 4;
     }
     if (T == 0) return Tneed;
     if (T < Tneed) return -2;

@@ -15,13 +15,14 @@ the integer bookkeeping is host work, the field math is device work.
        and points at infinity excluded entirely);
     3. emit perm (nwin,T,L) gather indices (sign in bit 31), per-lane
        loads, and per-bucket first-lane indices.  T is quantized to a
-       multiple of 8 so compiled shapes stay stable across MSM calls.
+       multiple of 4 so compiled shapes stay stable across MSM calls.
 
-  device (one jitted program; scan over windows):
-    4. gather the permuted affine table rows once per window (XLA take);
-    5. scan T rounds of the fused Pallas MIXED add (ec32.EC32Ctx.madd,
-       Z2=1, 11 variable muls) over all L lanes — the accumulators walk
-       through HBM between rounds but every field op stays in VMEM;
+  device (per-window dispatch so schedule uploads overlap compute):
+    4. gather the permuted doubled-table rows once per window (XLA take;
+       the sign bit indexes the negated-Y half);
+    5. ONE Pallas call per window runs all T mixed-add rounds
+       (ec32.*.madd_accumulate, Z2=1) with the L lane accumulators in
+       VMEM scratch — HBM sees each gathered tile once;
     6. ONE unmasked suffix doubling-scan over the bucket-sorted lanes:
        the first lane of bucket b then holds Q_b = sum_{b'>=b} S_b', and
        sum_b b*S_b = sum_b Q_b — so a bucket gather + halving tree
@@ -142,7 +143,7 @@ class StreamMSMCtx:
             m = n - int(counts[0])
             per_win.append((mag, counts))
             T = max(T, self._fit_T(counts[1:], m))
-        T = -(-T // 8) * 8
+        T = -(-T // 4) * 4
         perm = np.zeros((nwin, T * L), dtype=np.uint32)
         loads = np.zeros((nwin, L), dtype=np.int32)
         # GLOBAL first-lane index per bucket (w*L + lane) into the
