@@ -204,11 +204,14 @@ def main():
     if tpu_err is not None:
         extra["tpu_error"] = tpu_err[:300]
     try:
-        _, pts8, sc8 = cfg, pts[:8192], scalars[:8192]
-        if best_tier == "tpu":
-            extra["msm_8192"] = round(_bench_tpu(cfg, pts8, sc8)[0], 4)
-        else:
-            extra["msm_8192"] = round(_bench_host(pts8, sc8)[0], 4)
+        # best tier AT THIS SIZE (the stream tier's fixed finish-phase
+        # cost dominates small MSMs; production dispatch keeps them on
+        # the host tier — snark/msm_dispatch.STREAM_MIN)
+        pts8, sc8 = pts[:8192], scalars[:8192]
+        small = [_bench_host(pts8, sc8)[0]]
+        if tpu_err is None and tiers.get("tpu", 0.0) > 0.0:
+            small.append(_bench_tpu(cfg, pts8, sc8)[0])
+        extra["msm_8192"] = round(max(small), 4)
     except Exception:
         pass
     try:

@@ -33,6 +33,9 @@ def main():
 
     t_start = time.time()
     stats = {}
+    uni_only = "--universal-only" in sys.argv
+    if uni_only and "--universal" not in sys.argv:
+        sys.argv.append("--universal")
 
     def mark(name, t0):
         dt = time.time() - t0
@@ -47,6 +50,10 @@ def main():
     F = pcd.ic.main_field
     pred = Pred(F)
     rng = ChaChaRng(b"marlin chain smoke")
+
+    if uni_only:
+        run_universal(pcd, pred, stats, mark, t_start, real)
+        return
 
     t0 = time.time()
     pk, vk = pcd.circuit_specific_setup(pred, rng)
@@ -69,25 +76,46 @@ def main():
     print("NEG CHECK REJECTS:", stats["neg_check_rejects"], flush=True)
 
     if "--universal" in sys.argv:
-        rng2 = ChaChaRng(b"marlin universal smoke")
-        t0 = time.time()
-        pp = pcd.universal_setup(MarlinBound(max_degree=16), rng2)
-        t0 = mark("universal_setup", t0)
-        upk, uvk = pcd.index(pp, pred, rng2)
-        t0 = mark("index", t0)
-        q1 = pcd.prove(upk, pred, one, one, [], [], rng2)
-        t0 = mark("u_prove_base", t0)
-        stats["u_base_verifies"] = bool(pcd.verify(uvk, pred, one, q1))
-        q2 = pcd.prove(upk, pred, two, one, [one], [q1], rng2)
-        t0 = mark("u_prove_step2", t0)
-        stats["u_step2_verifies"] = bool(pcd.verify(uvk, pred, two, q2))
-        stats["u_neg_rejects"] = not pcd.verify(uvk, pred, one, q2)
-        print("UNIVERSAL:", stats["u_base_verifies"],
-              stats["u_step2_verifies"], stats["u_neg_rejects"], flush=True)
+        run_universal(pcd, pred, stats, mark, t_start, real)
+        return
 
+    _finish(stats, t_start, real, uni_only=False)
+
+
+def run_universal(pcd, pred, stats, mark, t_start, real):
+    import time
+
+    from pcd_tpu.snark.marlin.native import MarlinBound
+    from pcd_tpu.utils.rng import ChaChaRng
+
+    F = pcd.ic.main_field
+    one, two = F.from_int(1), F.from_int(2)
+    rng2 = ChaChaRng(b"marlin universal smoke")
+    t0 = time.time()
+    pp = pcd.universal_setup(MarlinBound(max_degree=16), rng2)
+    t0 = mark("universal_setup", t0)
+    upk, uvk = pcd.index(pp, pred, rng2)
+    t0 = mark("index", t0)
+    q1 = pcd.prove(upk, pred, one, one, [], [], rng2)
+    t0 = mark("u_prove_base", t0)
+    stats["u_base_verifies"] = bool(pcd.verify(uvk, pred, one, q1))
+    q2 = pcd.prove(upk, pred, two, one, [one], [q1], rng2)
+    t0 = mark("u_prove_step2", t0)
+    stats["u_step2_verifies"] = bool(pcd.verify(uvk, pred, two, q2))
+    stats["u_neg_rejects"] = not pcd.verify(uvk, pred, one, q2)
+    print("UNIVERSAL:", stats["u_base_verifies"],
+          stats["u_step2_verifies"], stats["u_neg_rejects"], flush=True)
+    _finish(stats, t_start, real,
+            uni_only="--universal-only" in sys.argv)
+
+
+def _finish(stats, t_start, real, uni_only):
     stats["total_s"] = round(time.time() - t_start, 1)
-    out = ("/root/repo/real_cycle_smoke_marlin.json" if real
-           else "/root/repo/marlin_chain_smoke.json")
+    if real:
+        out = ("/root/repo/real_cycle_smoke_marlin_universal.json"
+               if uni_only else "/root/repo/real_cycle_smoke_marlin.json")
+    else:
+        out = "/root/repo/marlin_chain_smoke.json"
     with open(out, "w") as f:
         json.dump(stats, f, indent=1)
     print(json.dumps(stats))
