@@ -306,16 +306,31 @@ class StreamMSMCtx:
         mags, signs = self.digits_signed(limbs)
         return self.schedule(mags, signs, inf)
 
+    # HBM budget for queued gather intermediates: each in-flight window
+    # holds its gathered tile stream (+ transpose copy) live until its
+    # kernel runs, so unbounded async dispatch OOMs at 2^19 G2 scale
+    # conservative: the prover launches up to four MSMs back-to-back,
+    # so each stream's queue budget must leave room for the others plus
+    # the device-resident query tables on a 16 GB chip
+    INFLIGHT_BYTES = 3 << 29
+
     def window_sums_async(self, XY, sched: StreamSchedule):
         """Dispatch the full device pipeline; returns the (nwin, KP)
-        window-sum device arrays WITHOUT blocking.  Per-window schedule
-        slices are device_put + dispatched one at a time so the wire
-        transfer of window w+1 overlaps window w's compute."""
+        window-sum device arrays WITHOUT blocking on the final result.
+        Per-window schedule slices are device_put + dispatched one at a
+        time so the wire transfer of window w+1 overlaps window w's
+        compute, with byte-budget backpressure bounding queued gather
+        memory (a no-op for small windows)."""
+        per_win = 2 * sched.T * self.L * 2 * self.ec.kw * 4
+        max_inflight = max(2, int(self.INFLIGHT_BYTES // max(per_win, 1)))
         accs = []
         for w in range(self.nwin):
             pw = jax.device_put(sched.perm[w])
             lw = jax.device_put(sched.loads[w])
             accs.append(self._madd_win_dev(XY, pw, lw))
+            lag = w - max_inflight
+            if lag >= 0:
+                jax.block_until_ready(accs[lag])
         stacked = tuple(jnp.stack([a[i] for a in accs])
                         for i in range(3))
         return self._finish_dev(stacked,
