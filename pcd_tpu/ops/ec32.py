@@ -600,7 +600,7 @@ class EC32Ctx:
         )
         return tuple(fn(*P, *Q, sign, active, N0T, P0T, off4, *extra))
 
-    def madd_accumulate(self, G, loads):
+    def madd_accumulate(self, G, loads, init=None):
         """The stream-MSM hot loop as ONE Pallas call: G (T, 2*KP, L) is
         the gathered (X||Y) affine tile stream in the TRANSPOSED layout
         (limbs on sublanes — one XLA transpose after the gather replaces
@@ -609,10 +609,16 @@ class EC32Ctx:
         (KP, L) transposed coordinate slabs after T sequential mixed
         adds per lane.  Grid is (L/BL, T) with T innermost — the
         accumulator lives in VMEM scratch across all T rounds, so HBM
-        sees each gathered tile once and the outputs once."""
+        sees each gathered tile once and the outputs once.
+
+        init: optional prior (KP, L) accumulator triple — the caller may
+        CHUNK long round sequences (bounding the gathered-tile transient)
+        and thread the accumulator through."""
         T, W2, L = G.shape
         kp = self.fp.kp
         assert W2 == 2 * kp
+        if init is None:
+            init = tuple(c.T for c in self.identity((L,)))
         if jax.default_backend() != "tpu":
             active = (jax.lax.broadcasted_iota(jnp.int32, (T, L), 0)
                       < loads.reshape(1, L)).astype(jnp.float32)
@@ -622,7 +628,8 @@ class EC32Ctx:
                 return self.madd(acc, (g[:kp].T, g[kp:].T),
                                  jnp.zeros((L,), jnp.float32), av), None
 
-            acc, _ = jax.lax.scan(step, self.identity((L,)), (G, active))
+            acc, _ = jax.lax.scan(step, tuple(c.T for c in init),
+                                  (G, active))
             return tuple(c.T for c in acc)
         from jax.experimental import pallas as pl
 
@@ -638,9 +645,6 @@ class EC32Ctx:
                                            ).reshape(-1, 1), (kp, B)).copy())
 
         off4 = full(fp.off4p())
-        one_r = np.zeros(kp, dtype=np.float32)
-        one_r[: fp.k] = fp.one_mont
-        onec = full(one_r)
         carr_full = self._madd_carr(rows=B)
         mat_names = [nm for nm in ("a", "b3", "a2")
                      if getattr(self.madd_spec, nm)[0] == "m"]
@@ -649,7 +653,7 @@ class EC32Ctx:
         spec = self.madd_spec
         nT = T
 
-        def kernel(g, ld, n0, p0, offr, onev, *rest):
+        def kernel(g, ld, ix, iy, iz, n0, p0, offr, *rest):
             offx3, offt2n = rest[0], rest[1]
             mats = rest[2: 2 + len(mat_names)]
             ox, oy, oz = rest[2 + len(mat_names): 5 + len(mat_names)]
@@ -658,9 +662,7 @@ class EC32Ctx:
 
             @pl.when(t == 0)
             def _():
-                ax[:] = jnp.zeros_like(ax)
-                ay[:] = onev[:]
-                az[:] = jnp.zeros_like(az)
+                ax[:], ay[:], az[:] = ix[:], iy[:], iz[:]
 
             carr = {"offX3": offx3[:], "offT2n": offt2n[:]}
             for nm, mref in zip(mat_names, mats):
@@ -690,14 +692,15 @@ class EC32Ctx:
         fn = pl.pallas_call(
             kernel,
             grid=(L // B, T),
-            in_specs=[gspec, lspec, whole(N0T), whole(P0T), whole(off4),
-                      whole(onec)] + [whole(c) for c in extra],
+            in_specs=[gspec, lspec] + [ospec] * 3
+            + [whole(N0T), whole(P0T), whole(off4)]
+            + [whole(c) for c in extra],
             out_specs=[ospec] * 3,
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((kp, B), jnp.float32)] * 3,
         )
-        return tuple(fn(G, loads.astype(jnp.int32).reshape(1, L), N0T,
-                        P0T, off4, onec, *extra))
+        return tuple(fn(G, loads.astype(jnp.int32).reshape(1, L), *init,
+                        N0T, P0T, off4, *extra))
 
     def double(self, P):
         return self.add(P, P)
@@ -1162,14 +1165,17 @@ class EC32ExtCtx:
             out = tuple(c[:, :R] for c in out)
         return out
 
-    def madd_accumulate(self, G, loads):
+    def madd_accumulate(self, G, loads, init=None):
         """Ext mirror of EC32Ctx.madd_accumulate: G (T, 2*D*KP, L)
-        transposed sign-resolved gathered stream, loads (1, L) int32;
-        returns 3 x (D*KP, L) lane accumulators."""
+        transposed sign-resolved gathered stream, loads (1, L) int32,
+        optional prior accumulator triple (chunked rounds); returns
+        3 x (D*KP, L) lane accumulators."""
         T, W2, L = G.shape
         kw = self.kw
         kp = self.fp.kp
         assert W2 == 2 * kw
+        if init is None:
+            init = self.identity_cols(L)
         spec, carr_mats = self._madd_consts()
         if jax.default_backend() != "tpu":
             fp = self.fp
@@ -1194,8 +1200,7 @@ class EC32ExtCtx:
                                     av.reshape(1, L))
                 return tuple(jnp.concatenate(c, axis=0) for c in Rt), None
 
-            acc0 = self.identity_cols(L)
-            acc, _ = jax.lax.scan(step, acc0, (G, active))
+            acc, _ = jax.lax.scan(step, init, (G, active))
             return acc
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
@@ -1213,16 +1218,13 @@ class EC32ExtCtx:
 
         offx3 = full(fp.off_mult_p(spec.offX3))
         offt2n = full(fp.off_mult_p(spec.offT2n))
-        one_r = np.zeros(kw, dtype=np.float32)
-        one_r[: fp.k] = fp.one_mont
-        onev = jnp.asarray(
-            np.broadcast_to(one_r.reshape(-1, 1), (kw, B)).copy())
         mats = [m for nm in ("a", "b3", "a2") for m in carr_mats[nm]]
         d = self.d
         nT = T
         self_ = self
 
-        def kernel(g, ld, n0, p0, offr, wrow, ox3, ot2, onec, *rest):
+        def kernel(g, ld, ix, iy, iz, n0, p0, offr, wrow, ox3, ot2,
+                   *rest):
             mats_r = rest[: 3 * d]
             ox, oy, oz = rest[3 * d: 3 * d + 3]
             ax, ay, az = rest[3 * d + 3:]
@@ -1230,9 +1232,7 @@ class EC32ExtCtx:
 
             @pl.when(t == 0)
             def _():
-                ax[:] = jnp.zeros_like(ax)
-                ay[:] = onec[:]
-                az[:] = jnp.zeros_like(az)
+                ax[:], ay[:], az[:] = ix[:], iy[:], iz[:]
 
             ops = _ExtOpsT(fp, d, self_.nr_int,
                            (n0[:], p0[:], offr[:], wrow[:]))
@@ -1263,15 +1263,15 @@ class EC32ExtCtx:
         fn = pl.pallas_call(
             kernel,
             grid=(L // B, T),
-            in_specs=[gspec, lspec, whole(N0T), whole(P0T), whole(off4),
-                      whole(wideW), whole(offx3), whole(offt2n),
-                      whole(onev)] + [whole(m) for m in mats],
+            in_specs=[gspec, lspec] + [ospec] * 3
+            + [whole(N0T), whole(P0T), whole(off4), whole(wideW),
+               whole(offx3), whole(offt2n)] + [whole(m) for m in mats],
             out_specs=[ospec] * 3,
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((kw, B), jnp.float32)] * 3,
         )
-        return tuple(fn(G, loads.astype(jnp.int32).reshape(1, L), N0T,
-                        P0T, off4, wideW, offx3, offt2n, onev, *mats))
+        return tuple(fn(G, loads.astype(jnp.int32).reshape(1, L), *init,
+                        N0T, P0T, off4, wideW, offx3, offt2n, *mats))
 
 
 class _MaddSpecExt:

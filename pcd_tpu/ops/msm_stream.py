@@ -177,14 +177,20 @@ class StreamMSMCtx:
             bidx[w] = np.minimum.accumulate(arr[::-1])[::-1]
         return StreamSchedule(perm.reshape(nwin, T, L), loads, bidx, T)
 
+    # rounds per gather chunk: bounds the gathered-tile transient to
+    # ~250 MB regardless of T / coordinate width (GM17's 2^19 G2 windows
+    # would otherwise materialize ~1.5 GB per window and OOM the chip)
+    CHUNK_BYTES = 250 << 20
+
     # -- device -----------------------------------------------------------
     @partial(jax.jit, static_argnums=0)
     def _madd_win_dev(self, XY, perm_w, loads_w):
-        """One window's lane accumulation: gather + T-round madd kernel.
-        Dispatched per window (not scanned) so the NEXT window's schedule
-        upload rides the wire while this window computes — on the
-        tunneled dev box host->device moves at ~50 MB/s and would
-        otherwise serialize ~0.5 s ahead of the device work."""
+        """One window's lane accumulation: chunked gather + madd-kernel
+        rounds with the accumulator threaded through.  Dispatched per
+        window (not scanned) so the NEXT window's schedule upload rides
+        the wire while this window computes — on the tunneled dev box
+        host->device moves at ~50 MB/s and would otherwise serialize
+        ~0.5 s ahead of the device work."""
         ec = self.ec
         kw = ec.kw
         T, L = perm_w.shape
@@ -193,10 +199,16 @@ class StreamMSMCtx:
         # the whole signed-digit negation costs one integer add here
         idx = ((perm_w & jnp.uint32(0x7FFFFFFF))
                + (perm_w >> 31) * jnp.uint32(n2)).astype(jnp.int32)
-        G = jnp.take(XY, idx.reshape(-1), axis=0).reshape(T, L, 2 * kw)
-        # one XLA transpose to the limbs-on-sublanes kernel layout
-        Gt = jnp.transpose(G, (0, 2, 1))
-        return ec.madd_accumulate(Gt, loads_w)
+        tc = max(4, self.CHUNK_BYTES // (2 * L * 2 * kw * 4))
+        acc = None
+        for t0 in range(0, T, tc):
+            t1 = min(T, t0 + tc)
+            G = jnp.take(XY, idx[t0:t1].reshape(-1), axis=0)
+            # one XLA transpose to the limbs-on-sublanes kernel layout
+            Gt = jnp.transpose(G.reshape(t1 - t0, L, 2 * kw), (0, 2, 1))
+            lw = jnp.clip(loads_w - t0, 0, t1 - t0)
+            acc = ec.madd_accumulate(Gt, lw, init=acc)
+        return acc
 
     @partial(jax.jit, static_argnums=0)
     def _finish_dev(self, accs, bidx_flat):
@@ -321,7 +333,8 @@ class StreamMSMCtx:
         time so the wire transfer of window w+1 overlaps window w's
         compute, with byte-budget backpressure bounding queued gather
         memory (a no-op for small windows)."""
-        per_win = 2 * sched.T * self.L * 2 * self.ec.kw * 4
+        per_win = min(2 * sched.T * self.L * 2 * self.ec.kw * 4,
+                      2 * self.CHUNK_BYTES)
         max_inflight = max(2, int(self.INFLIGHT_BYTES // max(per_win, 1)))
         accs = []
         for w in range(self.nwin):
