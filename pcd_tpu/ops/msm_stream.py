@@ -343,7 +343,10 @@ class StreamMSMCtx:
             accs.append(self._madd_win_dev(XY, pw, lw))
             lag = w - max_inflight
             if lag >= 0:
-                jax.block_until_ready(accs[lag])
+                # fetch one scalar: block_until_ready is unreliable
+                # through the tunneled device (returns before the queue
+                # drains), so force a real completion round-trip
+                float(accs[lag][0][0, 0])
         stacked = tuple(jnp.stack([a[i] for a in accs])
                         for i in range(3))
         return self._finish_dev(stacked,
