@@ -373,12 +373,19 @@ class GM17:
 
                     if (stream_enabled(self.backend)
                             and z_ext.shape[0] >= STREAM_MIN):
+                        from ..msm_dispatch import stream_table
+
+                        names = (("a_query", z_ext, self.cfg.g1),
+                                 ("b_query", z_ext, self.cfg.g2),
+                                 ("c_query", z_ext[n_inst:],
+                                  self.cfg.g1))
+                        # build all tables synchronously first (their
+                        # encode transients must not overlap MSM queues)
+                        for nm, _, curve in names + (
+                                ("h_query", None, self.cfg.g1),):
+                            stream_table(pk, nm, curve, self.Fr.BITS)
                         with span("stream_dispatch"):
-                            for nm, sl, curve in (
-                                    ("a_query", z_ext, self.cfg.g1),
-                                    ("b_query", z_ext, self.cfg.g2),
-                                    ("c_query", z_ext[n_inst:],
-                                     self.cfg.g1)):
+                            for nm, sl, curve in names:
                                 fut = stream_msm_async(
                                     pk, nm, curve, self.Fr.BITS,
                                     np.ascontiguousarray(sl))

@@ -224,13 +224,19 @@ class Groth16:
             return None
         if not stream_enabled(self.backend):
             return None
+        from ..msm_dispatch import stream_table
+
+        names = (("a_query", 0, self.cfg.g1),
+                 ("b_g1_query", 0, self.cfg.g1),
+                 ("b_g2_query", 0, self.cfg.g2),
+                 ("l_query", n_inst, self.cfg.g1))
+        # build every table FIRST (synchronously): the table encode's
+        # transients must not overlap the dispatch queues
+        for nm, _, curve in names + (("h_query", 0, self.cfg.g1),):
+            stream_table(pk, nm, curve, self.Fr.BITS)
         futs = {}
         with span("stream_dispatch"):
-            for nm, col0, curve in (
-                    ("a_query", 0, self.cfg.g1),
-                    ("b_g1_query", 0, self.cfg.g1),
-                    ("b_g2_query", 0, self.cfg.g2),
-                    ("l_query", n_inst, self.cfg.g1)):
+            for nm, col0, curve in names:
                 fut = stream_msm_async(pk, nm, curve, self.Fr.BITS,
                                        z_limbs[col0:])
                 if fut is not None:

@@ -178,6 +178,10 @@ def stream_table(pk, nm: str, curve, scalar_bits: int):
         if not isinstance(enc, EncodedPoints):
             return None
         hit = sctx.table_from_limbs(enc.xs, enc.ys, enc.inf)
+        # force the encode/doubling build to finish before anything else
+        # queues: its multi-GB transients must not overlap live MSM
+        # queues (and block_until_ready is unreliable over the tunnel)
+        float(hit[0][0, 0])
         tables[nm] = hit
     return (sctx,) + hit
 
