@@ -257,16 +257,36 @@ class EC32Ctx:
 
         @jax.jit
         def mont_encode(Xc, Yc, fin):
-            c = jnp.broadcast_to(jnp.asarray(r2), Xc.shape)
-            X = fp.mul(Xc, c)
-            Y = fp.mul(Yc, c)
-            onev = jnp.broadcast_to(jnp.asarray(one), Xc.shape)
-            zero = jnp.zeros_like(X)
-            m = fin[:, None]
-            X = jnp.where(m, zero, X)
-            Y = jnp.where(m, onev, Y)
-            Z = jnp.where(m, zero, onev)
-            return X, Y, Z
+            # chunked via lax.map: the Montgomery-mul intermediates are
+            # ~9x the input, which at 2^20-row tables would transiently
+            # eat several GB of HBM
+            def enc(args):
+                Xc_, Yc_, fin_ = args
+                c = jnp.broadcast_to(jnp.asarray(r2), Xc_.shape)
+                X = fp.mul(Xc_, c)
+                Y = fp.mul(Yc_, c)
+                onev = jnp.broadcast_to(jnp.asarray(one), Xc_.shape)
+                zero = jnp.zeros_like(X)
+                m = fin_[:, None]
+                return (jnp.where(m, zero, X), jnp.where(m, onev, Y),
+                        jnp.where(m, zero, onev))
+
+            rows = Xc.shape[0]
+            ck = 65536
+            if rows <= ck:
+                return enc((Xc, Yc, fin))
+            pad = (-rows) % ck
+            if pad:
+                Xc = jnp.pad(Xc, [(0, pad), (0, 0)])
+                Yc = jnp.pad(Yc, [(0, pad), (0, 0)])
+                fin = jnp.pad(fin, [(0, pad)])
+            sh = ((rows + pad) // ck, ck)
+            out = jax.lax.map(
+                enc, (Xc.reshape(sh + Xc.shape[1:]),
+                      Yc.reshape(sh + Yc.shape[1:]),
+                      fin.reshape(sh)))
+            return tuple(o.reshape((rows + pad,) + o.shape[2:])[:rows]
+                         for o in out)
 
         return mont_encode(to_f32(xs), to_f32(ys),
                            jnp.asarray(np.asarray(inf, dtype=bool)))
@@ -1035,18 +1055,39 @@ class EC32ExtCtx:
         def mont_encode(Xc, Yc, fin):
             c = jnp.asarray(r2)
 
-            def enc(v):
-                comps = v.reshape(n, d, fp.kp)
-                return fp.mul(comps, jnp.broadcast_to(
-                    c, comps.shape)).reshape(n, d * fp.kp)
+            def body(args):
+                Xc_, Yc_, fin_ = args
+                rows = Xc_.shape[0]
 
-            X = enc(Xc)
-            Y = enc(Yc)
-            onev = jnp.broadcast_to(jnp.asarray(one), X.shape)
-            zero = jnp.zeros_like(X)
-            m = fin[:, None]
-            return (jnp.where(m, zero, X), jnp.where(m, onev, Y),
-                    jnp.where(m, zero, onev))
+                def enc(v):
+                    comps = v.reshape(rows, d, fp.kp)
+                    return fp.mul(comps, jnp.broadcast_to(
+                        c, comps.shape)).reshape(rows, d * fp.kp)
+
+                X = enc(Xc_)
+                Y = enc(Yc_)
+                onev = jnp.broadcast_to(jnp.asarray(one), X.shape)
+                zero = jnp.zeros_like(X)
+                m = fin_[:, None]
+                return (jnp.where(m, zero, X), jnp.where(m, onev, Y),
+                        jnp.where(m, zero, onev))
+
+            rows = Xc.shape[0]
+            ck = 65536
+            if rows <= ck:
+                return body((Xc, Yc, fin))
+            pad = (-rows) % ck
+            if pad:
+                Xc = jnp.pad(Xc, [(0, pad), (0, 0)])
+                Yc = jnp.pad(Yc, [(0, pad), (0, 0)])
+                fin = jnp.pad(fin, [(0, pad)])
+            sh = ((rows + pad) // ck, ck)
+            out = jax.lax.map(
+                body, (Xc.reshape(sh + Xc.shape[1:]),
+                       Yc.reshape(sh + Yc.shape[1:]),
+                       fin.reshape(sh)))
+            return tuple(o.reshape((rows + pad,) + o.shape[2:])[:rows]
+                         for o in out)
 
         return mont_encode(to_f32(xs), to_f32(ys),
                            jnp.asarray(np.asarray(inf, dtype=bool)))
