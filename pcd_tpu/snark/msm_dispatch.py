@@ -23,10 +23,10 @@ def _device_ok() -> bool:
 def native_prove_ok(cfg) -> bool:
     """True when the C++ host tier can run this cycle's whole prove data
     plane (threaded batch-affine Pippenger, CSR matvec, mixed-radix NTT).
-    Auto dispatch prefers it over the device tier: measured at MNT4-298
-    production scale the host tier runs a warm IVC step in ~17 s while
-    the device tier spends minutes in XLA compiles alone (and its warm
-    MSM rate, 0.13 Mpts/s, still trails the host tier's 0.20)."""
+    In auto mode the host tier ORCHESTRATES the prove (witness replay,
+    matvec, quotient pipeline) while the commitment MSMs are offloaded
+    to the TPU stream tier whenever one is attached (stream_enabled
+    below) — the round-3 either/or dispatch became a round-4 overlap."""
     from ..msm.host import _native, _native_curve_ok
 
     return (_native() is not None and _native_curve_ok(cfg.g1)
