@@ -294,6 +294,7 @@ class GM17:
         domain = EvaluationDomain(self.Fr, pk.domain_size)
         device = self._use_device(2 * n_cons + n_inst)
         stream_futs: dict = {}
+        launch_f = None
 
         with span("gm17/h_poly"):
             if device:
@@ -373,24 +374,36 @@ class GM17:
 
                     if (stream_enabled(self.backend)
                             and z_ext.shape[0] >= STREAM_MIN):
+                        from concurrent.futures import ThreadPoolExecutor
+
                         from ..msm_dispatch import stream_table
 
                         names = (("a_query", z_ext, self.cfg.g1),
                                  ("b_query", z_ext, self.cfg.g2),
                                  ("c_query", z_ext[n_inst:],
                                   self.cfg.g1))
-                        # build all tables synchronously first (their
-                        # encode transients must not overlap MSM queues)
-                        for nm, _, curve in names + (
-                                ("h_query", None, self.cfg.g1),):
-                            stream_table(pk, nm, curve, self.Fr.BITS)
-                        with span("stream_dispatch"):
-                            for nm, sl, curve in names:
-                                fut = stream_msm_async(
-                                    pk, nm, curve, self.Fr.BITS,
-                                    np.ascontiguousarray(sl))
-                                if fut is not None:
-                                    stream_futs[nm] = fut
+
+                        def _launch():
+                            # build all tables synchronously first
+                            # (their encode transients must not overlap
+                            # MSM queues)
+                            for nm, _, curve in names + (
+                                    ("h_query", None, self.cfg.g1),):
+                                stream_table(pk, nm, curve, self.Fr.BITS)
+                            with span("stream_dispatch"):
+                                for nm, sl, curve in names:
+                                    fut = stream_msm_async(
+                                        pk, nm, curve, self.Fr.BITS,
+                                        np.ascontiguousarray(sl))
+                                    if fut is not None:
+                                        stream_futs[nm] = fut
+
+                        # background thread: the schedule uploads ride
+                        # the tunnel while the host (pure C++) runs the
+                        # squaring-quotient pipeline below
+                        _ex = ThreadPoolExecutor(max_workers=1)
+                        launch_f = _ex.submit(_launch)
+                        _ex.shutdown(wait=False)
                     nl = z_limbs.shape[1]
                     a_ev = np.zeros((domain.n, nl), dtype="<u8")
                     c_ev = np.zeros((domain.n, nl), dtype="<u8")
@@ -412,6 +425,8 @@ class GM17:
                         raise SNARKError(
                             "unsatisfied constraint (replayed witness)")
                     h = h_limbs[: domain.n - 1]
+                    if launch_f is not None:
+                        launch_f.result()
                     if stream_futs:
                         from ..msm_dispatch import stream_msm_async as _sma
 

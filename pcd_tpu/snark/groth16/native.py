@@ -489,10 +489,17 @@ class Groth16:
                         pk._host_mats = mats
                     with span("z_marshal"):
                         z_limbs = _nat.scalars_to_limbs(z)
-                    # dispatch the G1 query MSMs to the TPU NOW — they
-                    # only need z; the device drains its queue while the
-                    # host runs matvec + the quotient pipeline
-                    hybrid = self._stream_launch(pk, z_limbs, n_inst)
+                    # dispatch the query MSMs to the TPU NOW — they only
+                    # need z — from a background thread: the ~100 MB of
+                    # schedule uploads ride the tunnel while the host
+                    # (pure C++, GIL released) runs matvec + the
+                    # quotient pipeline below
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    _ex = ThreadPoolExecutor(max_workers=1)
+                    hybrid = _ex.submit(self._stream_launch, pk,
+                                        z_limbs, n_inst)
+                    _ex.shutdown(wait=False)
                     with span("matvec"):
                         a_l, b_l, c_l = mats.apply_all_limbs(z_limbs)
                     zh_inv = pow(
@@ -565,6 +572,11 @@ class Groth16:
                 return self._msm_any(host_query(pk, name), scalars, digits)
 
         import numpy as np
+
+        if hybrid is not None and not isinstance(hybrid, dict):
+            # background-thread launch (see prove): resolve it here —
+            # matvec + hpoly have run under it
+            hybrid = hybrid.result()
 
         # The h-query MSM joins the TPU stream queue as soon as the
         # quotient limbs land; the host G2 MSM below then overlaps all
