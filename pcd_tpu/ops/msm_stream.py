@@ -321,10 +321,11 @@ class StreamMSMCtx:
     # HBM budget for queued gather intermediates: each in-flight window
     # holds its gathered tile stream (+ transpose copy) live until its
     # kernel runs, so unbounded async dispatch OOMs at 2^19 G2 scale
-    # conservative: the prover launches up to four MSMs back-to-back,
-    # so each stream's queue budget must leave room for the others plus
-    # the device-resident query tables on a 16 GB chip
-    INFLIGHT_BYTES = 3 << 29
+    # queue-wide transient budget before the fetch-based backpressure
+    # engages; the device drains windows in enqueue order, so in steady
+    # state only a few windows' transients are simultaneously live even
+    # when the prover queues four MSMs back-to-back
+    INFLIGHT_BYTES = 10 << 30
 
     def window_sums_async(self, XY, sched: StreamSchedule):
         """Dispatch the full device pipeline; returns the (nwin, KP)
@@ -333,19 +334,27 @@ class StreamMSMCtx:
         time so the wire transfer of window w+1 overlaps window w's
         compute, with byte-budget backpressure bounding queued gather
         memory (a no-op for small windows)."""
+        # with the gather chunking (CHUNK_BYTES) a queued window's live
+        # transients are bounded, so the whole per-MSM queue fits HBM
+        # comfortably and backpressure is normally OFF.  The sparse
+        # completion fetches below are a safety net for future huge
+        # shapes only: each costs a ~25-45 ms tunnel round-trip
+        # (block_until_ready is unreliable through the tunneled device,
+        # so real backpressure needs a real scalar fetch)
         per_win = min(2 * sched.T * self.L * 2 * self.ec.kw * 4,
                       2 * self.CHUNK_BYTES)
-        max_inflight = max(2, int(self.INFLIGHT_BYTES // max(per_win, 1)))
+        max_inflight = self.nwin + 1
+        if per_win * self.nwin > self.INFLIGHT_BYTES:
+            max_inflight = max(2, int(self.INFLIGHT_BYTES
+                                      // max(per_win, 1)))
+        stride = max(1, max_inflight // 2)
         accs = []
         for w in range(self.nwin):
             pw = jax.device_put(sched.perm[w])
             lw = jax.device_put(sched.loads[w])
             accs.append(self._madd_win_dev(XY, pw, lw))
             lag = w - max_inflight
-            if lag >= 0:
-                # fetch one scalar: block_until_ready is unreliable
-                # through the tunneled device (returns before the queue
-                # drains), so force a real completion round-trip
+            if lag >= 0 and w % stride == 0:
                 float(accs[lag][0][0, 0])
         stacked = tuple(jnp.stack([a[i] for a in accs])
                         for i in range(3))
