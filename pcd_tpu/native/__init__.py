@@ -100,8 +100,8 @@ def _load():
     lib.pcd_msm_schedule.restype = ctypes.c_long
     lib.pcd_msm_schedule.argtypes = [
         ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_long,
-        ctypes.c_long, ctypes.c_long, u64p, ctypes.c_long, u8p, u32p,
-        i32p, i32p]
+        ctypes.c_long, ctypes.c_long, ctypes.c_int, u64p, ctypes.c_long,
+        u8p, u32p, i32p, i32p]
     _lib = lib
     return lib
 
@@ -566,9 +566,11 @@ def vec_op(modulus: int, op: str, a, b) -> np.ndarray:
 
 
 def msm_schedule(limbs: np.ndarray, inf, c: int, nwin: int, L: int,
-                 B: int):
+                 B: int, carry_win: bool = True):
     """Stream-MSM gather schedule (ops/msm_stream.py) computed natively:
     signed digits + proportional lane placement in threaded C++.
+    carry_win False = the top window absorbs the signed carry unsigned
+    (StreamMSMCtx.carry_win decides when that has headroom).
     Returns (perm (nwin,T,L) u32, loads (nwin,L) i32, bidx (nwin,B) i32,
     T) or None when the native tier is unavailable."""
     lib = _load()
@@ -582,15 +584,16 @@ def msm_schedule(limbs: np.ndarray, inf, c: int, nwin: int, L: int,
         inf_p = _u8p(inf_arr)
     nullp = ctypes.POINTER(ctypes.c_uint32)()
     nulli = ctypes.POINTER(ctypes.c_int32)()
-    T = lib.pcd_msm_schedule(n, c, nwin, L, B, 0, _u64p(limbs), nl, inf_p,
-                             nullp, nulli, nulli)
+    cw = 1 if carry_win else 0
+    T = lib.pcd_msm_schedule(n, c, nwin, L, B, 0, cw, _u64p(limbs), nl,
+                             inf_p, nullp, nulli, nulli)
     if T <= 0:
         return None
     perm = np.zeros((nwin, T * L), dtype=np.uint32)
     loads = np.zeros((nwin, L), dtype=np.int32)
     bidx = np.zeros((nwin, B), dtype=np.int32)
     rc = lib.pcd_msm_schedule(
-        n, c, nwin, L, B, T, _u64p(limbs), nl, inf_p,
+        n, c, nwin, L, B, T, cw, _u64p(limbs), nl, inf_p,
         perm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         loads.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         bidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))

@@ -1602,16 +1602,20 @@ extern "C" int pcd_hpoly(long field_h, long n, const u64 *omega,
 // buffers may be NULL).  Then call again with that T and the buffers.
 // Returns -1 on bad arguments, -2 when the given T is too small.
 extern "C" long pcd_msm_schedule(long n, int c, int nwin, long L, long B,
-                                 long T, const u64 *scalars, long nlimbs,
-                                 const u8 *inf, u32 *perm, i32 *loads,
-                                 i32 *bidx) {
+                                 long T, int carry_win, const u64 *scalars,
+                                 long nlimbs, const u8 *inf, u32 *perm,
+                                 i32 *loads, i32 *bidx) {
     if (n <= 0 || c < 2 || c > 14 || nwin < 2 || L <= 0 || B != (1L << (c - 1)))
         return -1;
     const int base = nwin - 1;
     const u32 mask = (1u << c) - 1;
     const long half = 1L << (c - 1), full = 1L << c;
 
-    // signed digits, (nwin, n): mag in [0, B], sign in bit 31
+    // signed digits, (nwin, n): mag in [0, B], sign in bit 31.  The
+    // last row is either the carry-out window (carry_win) or the top
+    // real window absorbing the carry unsigned (the caller guarantees
+    // mag <= B headroom; overflow is reported as -3).
+    std::atomic<int> bad{0};
     std::vector<u32> dig((size_t)nwin * n);
     {
         const int HW = hw_threads();
@@ -1642,12 +1646,25 @@ extern "C" long pcd_msm_schedule(long n, int c, int nwin, long L, long B,
                         dig[(size_t)w * n + i] =
                             d < 0 ? ((u32)(-d) | 0x80000000u) : (u32)d;
                     }
-                    dig[(size_t)base * n + i] = (u32)carry;
+                    if (carry_win) {
+                        dig[(size_t)base * n + i] = (u32)carry;
+                    } else {
+                        long bit = (long)base * c;
+                        long word = bit >> 6;
+                        int sh = (int)(bit & 63);
+                        u64 v = word < nlimbs ? (s[word] >> sh) : 0;
+                        if (sh + c > 64 && word + 1 < nlimbs)
+                            v |= s[word + 1] << (64 - sh);
+                        long d = (long)(v & mask) + carry;
+                        if (d > B) bad.store(1);
+                        dig[(size_t)base * n + i] = (u32)d;
+                    }
                 }
             });
         }
         for (auto &t : ts) t.join();
     }
+    if (bad.load()) return -3;
 
     // per-window bucket counts -> global required T
     std::vector<std::vector<long>> counts(nwin);

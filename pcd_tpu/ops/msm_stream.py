@@ -79,7 +79,15 @@ class StreamMSMCtx:
         assert lanes % 128 == 0 and lanes > self.B // 8
         self.scalar_bits = scalar_bits
         self.base_windows = -(-scalar_bits // c)
-        self.nwin = self.base_windows + 1   # signed carry window
+        # The signed-digit carry out of window base-2 is ABSORBED by the
+        # top window whenever its raw digit has headroom (top_bits <=
+        # c-1, so mag <= 2^top_bits <= B): one whole window of madd /
+        # gather / suffix work disappears, and no window is ever the
+        # pathological single-bucket carry column.  Only scalar_bits
+        # divisible by c still needs the extra carry window.
+        top_bits = scalar_bits - (self.base_windows - 1) * c
+        self.carry_win = top_bits >= c
+        self.nwin = self.base_windows + (1 if self.carry_win else 0)
 
     # -- host: digits -----------------------------------------------------
     def digits_signed(self, limbs: np.ndarray):
@@ -94,8 +102,8 @@ class StreamMSMCtx:
         mask = (1 << c) - 1
         half = 1 << (c - 1)
         full = 1 << c
-        mags = np.zeros((base + 1, n), dtype=np.int32)
-        signs = np.zeros((base + 1, n), dtype=bool)
+        mags = np.zeros((self.nwin, n), dtype=np.int32)
+        signs = np.zeros((self.nwin, n), dtype=bool)
         carry = np.zeros(n, dtype=np.int64)
         for w in range(base):
             bit = w * c
@@ -104,6 +112,14 @@ class StreamMSMCtx:
                  | (by[:, b0 + 1].astype(np.uint32) << 8)
                  | (by[:, b0 + 2].astype(np.uint32) << 16)) >> sh
             d = (v & mask).astype(np.int64) + carry
+            if w == base - 1 and not self.carry_win:
+                # top window absorbs the carry unsigned (mag <= B by the
+                # carry_win headroom condition in __init__)
+                if (d > self.B).any():
+                    raise ValueError(
+                        "scalar exceeds declared scalar_bits")
+                mags[w] = d
+                return mags, signs
             carry = (d >= half).astype(np.int64)
             d -= carry * full
             neg = d < 0
@@ -309,7 +325,7 @@ class StreamMSMCtx:
             from ..native import msm_schedule
 
             out = msm_schedule(limbs, inf, self.c, self.nwin, self.L,
-                               self.B)
+                               self.B, carry_win=self.carry_win)
         except Exception:
             out = None
         if out is not None:

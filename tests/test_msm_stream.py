@@ -96,7 +96,7 @@ def test_native_schedule_matches_numpy_semantics(sctx, toy):
     limbs = np.ascontiguousarray(
         sctx.limb_rows(scalars, nbytes=8).astype("<u8"))
     out = native.msm_schedule(limbs, None, sctx.c, sctx.nwin, sctx.L,
-                              sctx.B)
+                              sctx.B, carry_win=sctx.carry_win)
     assert out is not None
     perm, loads, bidx, T = out
     mags, signs = sctx.digits_signed(limbs)
@@ -129,6 +129,31 @@ def test_msm_oracle_full(sctx, toy):
     for p, s in zip(pts, scalars):
         exp = exp + p * s
     assert got == exp
+
+
+def test_carry_window_absorbed(toy):
+    """When the top window has headroom (scalar_bits % c != 0) the
+    signed carry is absorbed unsigned and the extra window disappears;
+    at the divisible boundary the carry window must survive."""
+    r = toy.g1.order
+    bits = toy.Fr.BITS
+    c = 6
+    sc = StreamMSMCtx(toy.g1, bits, c=c, lanes=128)
+    base = -(-bits // c)
+    if bits % c:
+        assert not sc.carry_win and sc.nwin == base
+    sc2 = StreamMSMCtx(toy.g1, base * c, c=c, lanes=128)
+    assert sc2.carry_win and sc2.nwin == base + 1
+    rng = np.random.default_rng(9)
+    scalars = [int(x) % r for x in rng.integers(0, 1 << 62, size=40)]
+    scalars += [0, 1, r - 1]
+    for ctx in (sc, sc2):
+        limbs = ctx.limb_rows(scalars, nbytes=8)
+        mags, signs = ctx.digits_signed(limbs)
+        for j, s in enumerate(scalars):
+            v = sum((-int(mags[w, j]) if signs[w, j] else int(mags[w, j]))
+                    << (w * ctx.c) for w in range(ctx.nwin))
+            assert v == s
 
 
 def test_msm_all_zero_scalars(sctx, toy):
