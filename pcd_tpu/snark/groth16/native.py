@@ -212,7 +212,9 @@ class Groth16:
     # host C++ tier runs the matvec, the quotient pipeline and the G2
     # MSM; the tiny window sums are fetched and Horner-combined after.
     # Default-ON whenever a TPU is attached (PCD_TPU_STREAM=0 opts out).
-    STREAM_MIN = 100_000
+    # 24k: low enough that the 31k-row HelpCircuit's MSMs stream too
+    # (see msm_dispatch.STREAM_MIN).
+    STREAM_MIN = 24_000
 
     def _stream_launch(self, pk, z_limbs, n_inst):
         """Dispatch the a/b1/b2/l MSMs to the TPU (G1 via the prime

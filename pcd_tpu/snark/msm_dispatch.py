@@ -140,7 +140,13 @@ def host_query(owner, name: str):
 
 
 # -- stream-MSM offload (shared by the Groth16/GM17 provers) ------------
-STREAM_MIN = 100_000
+# Threshold: the stream tier's fixed per-MSM cost (suffix scan + window
+# dispatch) is ~0.2 s; below ~24k rows the host tier finishes first AND
+# there is no host work left to overlap.  At the 31k-row HelpCircuit
+# the offload overlaps the host witness replay + quotient pipeline, so
+# the help prove stops being half the warm IVC step (round-4 span
+# profile: help_prove ~3.0 s of the 6.2 s step, msm_b2 alone 0.78 s).
+STREAM_MIN = 24_000
 
 
 def stream_enabled(backend: str) -> bool:
