@@ -755,8 +755,10 @@ class _ExtOpsT:
 
     def mul(self, a, b):
         fp = self.fp
-        raw = fp.mulT_raw
-        red = lambda t: fp.redcT(fp.settleT(t), self.N0T, self.P0T)
+        raw = fp.mulT_raw     # 1-round-settled wides: |limbs| <= ~10k,
+        # so Karatsuba combos and the nr scale stay f32-exact and redcT's
+        # split reduction takes them directly (no 3-round settles)
+        red = lambda t: fp.redcT(t, self.N0T, self.P0T)
         W = self.wideW
         nr = self.nr
         if self.d == 2:
@@ -795,11 +797,12 @@ class _ExtOpsT:
         fp = self.fp
         d, nr = self.d, self.nr
         xs = [fp.settleT(c, rounds=2).astype(jnp.bfloat16) for c in x]
-        # settle each wide BEFORE the nr scale: raw matmul limb sums reach
-        # ~2^21 and nr*2^21 would exceed f32's exact-integer range
+        # one carry round BEFORE the nr scale: raw matmul limb sums reach
+        # ~2^21 and nr*2^21 would exceed f32's exact-integer range; after
+        # one round limbs are <= ~10k and the scaled combos stay exact
         wide = [[fp.settleT(
                     jnp.dot(CTs[i], xs[j],
-                            preferred_element_type=jnp.float32))
+                            preferred_element_type=jnp.float32), rounds=1)
                  for j in range(d)] for i in range(d)]
         out = []
         for m in range(d):
@@ -810,7 +813,7 @@ class _ExtOpsT:
                         continue
                     t = wide[i][j] if i + j < d else nr * wide[i][j]
                     acc = t if acc is None else acc + t
-            out.append(fp.redcT(fp.settleT(acc), self.N0T, self.P0T))
+            out.append(fp.redcT(acc, self.N0T, self.P0T))
         return tuple(out)
 
 

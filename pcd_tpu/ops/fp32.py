@@ -240,11 +240,11 @@ class Fp32Ctx:
                 jnp.asarray(self.P0.T.copy(), dtype=jnp.bfloat16),
                 jnp.asarray(self.off4p().reshape(-1, 1)))
 
-    def mulT_raw(self, a, b):
-        """Schoolbook wide product, operands (K, B) -> settled (2K, B).
-        Exposed separately so extension-field multiplication can combine
-        wide products (Karatsuba) BEFORE the single Montgomery reduction
-        per output component."""
+    def mulT_raw_ns(self, a, b):
+        """Schoolbook wide product, operands (K, B) -> UNSETTLED (2K, B):
+        exact f32 integers with entries < ~2^23 (inputs may have limbs up
+        to ~700 in magnitude; 39*700^2 < 2^24.2 would break exactness, so
+        the widened quasi-settled class is capped at |limb| <= 640)."""
         k, kp, k2p = self.k, self.kp, self.k2p
         a, b = jnp.broadcast_arrays(a, b)
         nb = a.shape[-1]
@@ -260,22 +260,60 @@ class Fp32Ctx:
                 prod = jnp.concatenate(
                     [prod, jnp.broadcast_to(zrow, (pad_r, nb))], axis=0)
             t = t + prod
-        return self.settleT(t)
+        return t
+
+    def mulT_raw(self, a, b):
+        """Schoolbook wide product, one carry round: limbs of the result
+        are in [~-80, ~10k] (still f32-exact); extension-field callers
+        combine such wides (Karatsuba / nr-scaling by <= 17) safely below
+        2^24 and redcT's split reduction takes any f32-exact wide."""
+        return self.settleT(self.mulT_raw_ns(a, b), rounds=1)
+
+    def _split3(self, v, rows):
+        """Exact base-256 3-part decomposition of an f32-exact integer
+        vector: v == r + shift1(c0) + shift2(c1) with r, c0 in [0, 255]
+        and |c1| small — every part exact in bfloat16.  Replaces two
+        settle rounds ahead of each constant matmul (the bf16 operands
+        need strict 8-bit limbs; the split gets there in 5 VPU ops
+        instead of 10 and needs no carry chain)."""
+        c = jnp.floor(v * INV_BASE)
+        r = v - c * BASE
+        c1 = jnp.floor(c * INV_BASE)
+        c0 = c - c1 * BASE
+        nb = v.shape[-1]
+        z1 = jnp.zeros((1, nb), dtype=jnp.float32)
+        z2 = jnp.zeros((2, nb), dtype=jnp.float32)
+        c0s = jnp.concatenate([z1, c0[: rows - 1, :]], axis=0)
+        c1s = jnp.concatenate([z2, c1[: rows - 2, :]], axis=0)
+        return r[:rows, :], c0s, c1s
 
     def redcT(self, t, N0T, P0T):
-        """Montgomery-reduce a settled wide value t (2K, B) -> (K, B).
-        Requires 0 <= t < ~R*p (t/R + p stays in the lazy class)."""
+        """Montgomery-reduce a wide value t (2K, B) -> (K, B).  t may be
+        RAW (unsettled): any f32-exact integer limb vector with value in
+        [0, ~R*p) works — the base-256 3-way split feeds each constant
+        matmul with strict-8-bit parts (three small MXU matmuls replace
+        one matmul + two settle rounds), and only the final sum pays a
+        2-round settle.  Output limbs in [-1, ~380] (widened
+        quasi-settled class; see mulT_raw_ns)."""
         k, kp = self.k, self.kp
         nb = t.shape[-1]
-        t_lo = t[:kp, :]
-        m = jnp.dot(N0T, t_lo.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
-        m = self.settleT(m)
-        row = jax.lax.broadcasted_iota(jnp.int32, (kp, 1), 0)
-        m = m * (row < k).astype(jnp.float32)
-        mp = jnp.dot(P0T, m.astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)
-        s = self.settleT(t + mp)
+
+        def dot3(M, parts):
+            acc = None
+            for pt in parts:
+                d = jnp.dot(M, pt.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+                acc = d if acc is None else acc + d
+            return acc
+
+        # m = (t mod R) * N' mod R: any limb representation of t mod R
+        # gives a valid m (everything is mod R)
+        m = dot3(N0T, self._split3(t, kp))
+        # mod R: zero the spill rows of each part AFTER the m-split
+        row = (jax.lax.broadcasted_iota(jnp.int32, (kp, 1), 0)
+               < k).astype(jnp.float32)
+        mp = dot3(P0T, tuple(pt * row for pt in self._split3(m, kp)))
+        s = self.settleT(t + mp, rounds=2)
         carry = jnp.floor(
             s[k - 1 : k, :] * INV_BASE
             + s[k - 2 : k - 1, :] * (INV_BASE ** 2)
@@ -287,7 +325,7 @@ class Fp32Ctx:
 
     def mulT(self, a, b, N0T, P0T):
         """Montgomery product, operands (K, B)."""
-        return self.redcT(self.mulT_raw(a, b), N0T, P0T)
+        return self.redcT(self.mulT_raw_ns(a, b), N0T, P0T)
 
     @lru_cache(maxsize=None)
     def wide_p_offset(self):
@@ -329,7 +367,7 @@ class Fp32Ctx:
         wide = jnp.dot(CT.astype(jnp.bfloat16) if CT.dtype != jnp.bfloat16
                        else CT, xs.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
-        return self.redcT(self.settleT(wide), N0T, P0T)
+        return self.redcT(wide, N0T, P0T)
 
     def smulT(self, v: float, x):
         """Multiply by a SMALL integer constant (<= ~2^11) on the VPU:
