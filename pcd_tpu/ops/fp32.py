@@ -290,11 +290,13 @@ class Fp32Ctx:
     def redcT(self, t, N0T, P0T):
         """Montgomery-reduce a wide value t (2K, B) -> (K, B).  t may be
         RAW (unsettled): any f32-exact integer limb vector with value in
-        [0, ~R*p) works — the base-256 3-way split feeds each constant
-        matmul with strict-8-bit parts (three small MXU matmuls replace
-        one matmul + two settle rounds), and only the final sum pays a
-        2-round settle.  Output limbs in [-1, ~380] (widened
-        quasi-settled class; see mulT_raw_ns)."""
+        [0, ~R*p) works — the base-256 3-way split feeds the N' matmul
+        with strict-8-bit parts (three small MXU matmuls replace one
+        matmul behind a 3-round carry chain), and the final sum pays a
+        2-round settle.  m itself IS fully settled + masked before the
+        m*p matmul: m must be < ~R (a lazier representative reaches 3R
+        and inflates every mul output from 2p to 4p, blowing the madd
+        lazy-class envelopes).  Output limbs in [-1, ~380]."""
         k, kp = self.k, self.kp
         nb = t.shape[-1]
 
@@ -309,10 +311,12 @@ class Fp32Ctx:
         # m = (t mod R) * N' mod R: any limb representation of t mod R
         # gives a valid m (everything is mod R)
         m = dot3(N0T, self._split3(t, kp))
-        # mod R: zero the spill rows of each part AFTER the m-split
+        m = self.settleT(m)          # strict limbs: masked value < 1.004R
         row = (jax.lax.broadcasted_iota(jnp.int32, (kp, 1), 0)
                < k).astype(jnp.float32)
-        mp = dot3(P0T, tuple(pt * row for pt in self._split3(m, kp)))
+        m = m * row
+        mp = jnp.dot(P0T, m.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
         s = self.settleT(t + mp, rounds=2)
         carry = jnp.floor(
             s[k - 1 : k, :] * INV_BASE

@@ -52,15 +52,61 @@ _SIGN = np.uint32(1 << 31)
 
 
 class StreamSchedule:
-    """Host-computed gather schedule for one scalar vector."""
+    """Host-computed gather schedule for one scalar vector, in the
+    packed wire format (3 bytes/slot: the tunneled host->device wire is
+    the 2^18-MSM critical path, so the schedule upload is byte-packed —
+    23-bit table index + sign in bit 23, split u16 lo / u8 hi)."""
 
-    __slots__ = ("perm", "loads", "bidx", "T")
+    __slots__ = ("perm_lo", "perm_hi", "loads", "bidx", "runrem",
+                 "maxrun", "T")
 
-    def __init__(self, perm, loads, bidx, T):
-        self.perm = perm      # (nwin, T, L) uint32, sign in bit 31
+    IDX_BITS = 23
+
+    def __init__(self, perm, loads, bidx_minacc, T, L):
+        # perm: (nwin, T, L) uint32, raw index with sign in bit 31
+        nwin = perm.shape[0]
+        idx = perm & np.uint32(0x7FFFFFFF)
+        if idx.size and int(idx.max()) >> self.IDX_BITS:
+            raise ValueError("table index exceeds 23-bit wire format")
+        packed = idx | ((perm >> 31) << self.IDX_BITS)
+        self.perm_lo = (packed & 0xFFFF).astype(np.uint16)
+        self.perm_hi = (packed >> 16).astype(np.uint8)
         self.loads = loads    # (nwin, L) int32
-        self.bidx = bidx      # (nwin, B) int32 (L = identity slot)
         self.T = T
+        # bidx arrives min-accumulated ("first lane of the smallest
+        # nonempty bucket >= j", sentinel nwin*L); the two-phase finish
+        # wants the DIRECT first lane per bucket + per-lane run lengths
+        SENT = nwin * L
+        direct = np.full_like(bidx_minacc, SENT)
+        runrem = np.zeros((nwin, L), dtype=np.int16)
+        maxrun = 1
+        for w in range(nwin):
+            bw = bidx_minacc[w]
+            nxt = np.append(bw[1:], SENT)
+            nonempty = bw != nxt
+            direct[w] = np.where(nonempty, bw, SENT)
+            starts = (bw[nonempty] - w * L).astype(np.int64)
+            if not starts.size:
+                continue
+            used = int(np.count_nonzero(loads[w]))
+            ends = np.append(starts[1:], used)
+            lane = np.arange(used, dtype=np.int64)
+            seg = np.searchsorted(starts, lane, side="right") - 1
+            runrem[w, :used] = ends[seg] - lane
+            maxrun = max(maxrun, int((ends - starts).max()))
+        self.bidx = direct
+        self.runrem = runrem
+        m = 1
+        while m < maxrun:
+            m *= 2
+        self.maxrun = m       # pow2-quantized (static jit key)
+
+    def perm_unpacked(self) -> np.ndarray:
+        """(nwin, T, L) uint32 raw format (sign in bit 31) — tests."""
+        packed = (self.perm_lo.astype(np.uint32)
+                  | (self.perm_hi.astype(np.uint32) << 16))
+        idx = packed & ((1 << self.IDX_BITS) - 1)
+        return idx | ((packed >> self.IDX_BITS) << 31)
 
 
 class StreamMSMCtx:
@@ -191,7 +237,7 @@ class StreamMSMCtx:
             arr = np.where(cnz > 0, w * L + starts,
                            nwin * L).astype(np.int64)
             bidx[w] = np.minimum.accumulate(arr[::-1])[::-1]
-        return StreamSchedule(perm.reshape(nwin, T, L), loads, bidx, T)
+        return StreamSchedule(perm.reshape(nwin, T, L), loads, bidx, T, L)
 
     # rounds per gather chunk: bounds the gathered-tile transient to
     # ~250 MB regardless of T / coordinate width (GM17's 2^19 G2 windows
@@ -200,62 +246,90 @@ class StreamMSMCtx:
 
     # -- device -----------------------------------------------------------
     @partial(jax.jit, static_argnums=0)
-    def _madd_win_dev(self, XY, perm_w, loads_w):
+    def _madd_win_dev(self, XY, perm_lo, perm_hi, loads_w):
         """One window's lane accumulation: chunked gather + madd-kernel
         rounds with the accumulator threaded through.  Dispatched per
         window (not scanned) so the NEXT window's schedule upload rides
         the wire while this window computes — on the tunneled dev box
         host->device moves at ~50 MB/s and would otherwise serialize
-        ~0.5 s ahead of the device work."""
+        ~0.5 s ahead of the device work.  XY is the uint8 canonical-limb
+        doubled table (4x less HBM random-read per gathered row than the
+        old f32 table); perm is the 3-byte packed wire format."""
         ec = self.ec
         kw = ec.kw
-        T, L = perm_w.shape
+        T, L = perm_lo.shape
         n2 = XY.shape[0] // 2   # doubled table: rows n..2n-1 hold -P
+        packed = (perm_lo.astype(jnp.int32)
+                  + (perm_hi.astype(jnp.int32) << 16))
+        sign = packed >> StreamSchedule.IDX_BITS
         # sign bit selects the negated-Y half of the doubled table —
         # the whole signed-digit negation costs one integer add here
-        idx = ((perm_w & jnp.uint32(0x7FFFFFFF))
-               + (perm_w >> 31) * jnp.uint32(n2)).astype(jnp.int32)
+        idx = (packed & ((1 << StreamSchedule.IDX_BITS) - 1)) + sign * n2
         tc = max(4, self.CHUNK_BYTES // (2 * L * 2 * kw * 4))
         acc = None
         for t0 in range(0, T, tc):
             t1 = min(T, t0 + tc)
             G = jnp.take(XY, idx[t0:t1].reshape(-1), axis=0)
-            # one XLA transpose to the limbs-on-sublanes kernel layout
-            Gt = jnp.transpose(G.reshape(t1 - t0, L, 2 * kw), (0, 2, 1))
+            # one XLA transpose to the limbs-on-sublanes kernel layout,
+            # fused with the uint8 -> f32 widen
+            Gt = jnp.transpose(G.reshape(t1 - t0, L, 2 * kw),
+                               (0, 2, 1)).astype(jnp.float32)
             lw = jnp.clip(loads_w - t0, 0, t1 - t0)
             acc = ec.madd_accumulate(Gt, lw, init=acc)
         return acc
 
-    @partial(jax.jit, static_argnums=0)
-    def _finish_dev(self, accs, bidx_flat):
+    @partial(jax.jit, static_argnums=(0, 4))
+    def _finish_dev(self, accs, bidx_flat, runrem_flat, maxrun: int):
         """accs: 3 coords, each (nwin, KP, L); bidx_flat: (nwin*B,)
-        GLOBAL first-lane indices (sentinel nwin*L = identity).
-        Batched window-local suffix doubling over bucket-sorted lanes,
-        then the bucket gather + halving reduce."""
+        DIRECT global first-lane index per bucket (sentinel nwin*L =
+        identity row); runrem_flat: (nwin*L,) lanes remaining in the
+        lane's bucket segment (0 = unused lane); maxrun: pow2 bound on
+        the longest segment (static jit key).
+
+        Two-phase finish (VERDICT r4: suffix phase at 2.77M full adds vs
+        the ~1.3M lower bound): (1) an in-segment suffix scan of only
+        ceil(log2 maxrun) rounds merges each bucket's lanes (maxrun is
+        typically 2-8, vs log2(L)=13 rounds of the old whole-axis scan);
+        (2) the per-bucket sums are gathered COMPACTLY (nwin*B columns,
+        4-16x narrower than nwin*L) and the weighted sum_b b*S_b runs as
+        a suffix scan + halving reduce on that narrow array."""
         ec = self.ec
-        fp = ec.fp
         L, B = self.L, self.B
         nwin = accs[0].shape[0]
         kw = ec.kw
         R = nwin * L
         U = tuple(jnp.transpose(a, (1, 0, 2)).reshape(kw, R)
                   for a in accs)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape(R) % L
         s = 1
-        while s < L:
+        while s < maxrun:
             idc = ec.identity_cols(s)
             shifted = tuple(
                 jnp.concatenate([c[:, s:], i0], axis=1)
                 for c, i0 in zip(U, idc))
             added = ec.add_cols(U, shifted)
-            ok = (lane + s < L)[None, :]
+            ok = (runrem_flat > s)[None, :]
             U = tuple(jnp.where(ok, a, u) for a, u in zip(added, U))
             s *= 2
-        # back to row-major for the bucket gather + halving reduce
+        # compact per-bucket sums: row-major pad + direct-bidx gather
         idrow = ec.identity((1,))
         Upad = tuple(jnp.concatenate([c.T, i0], axis=0)
                      for c, i0 in zip(U, idrow))
-        Q = tuple(jnp.take(c, bidx_flat, axis=0) for c in Upad)
+        C = nwin * B
+        Q = tuple(jnp.take(c, bidx_flat, axis=0).T for c in Upad)
+        # suffix over the bucket axis within each window: col j ends with
+        # Q_j = sum_{b >= j} S_b, so sum_j Q_j = sum_b b*S_b
+        bpos = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0).reshape(C) % B
+        s = 1
+        while s < B:
+            idc = ec.identity_cols(s)
+            shifted = tuple(
+                jnp.concatenate([c[:, s:], i0], axis=1)
+                for c, i0 in zip(Q, idc))
+            added = ec.add_cols(Q, shifted)
+            ok = (bpos + s < B)[None, :]
+            Q = tuple(jnp.where(ok, a, q) for a, q in zip(added, Q))
+            s *= 2
+        Q = tuple(c.T for c in Q)
         w = B
         while w > 1:
             Q = tuple(c.reshape(nwin, w, kw) for c in Q)
@@ -276,46 +350,116 @@ class StreamMSMCtx:
         return acc
 
     # -- entry points -------------------------------------------------------
-    def _doubled(self, X, Y):
-        """(2m, 2*KP) combined table with m = pow2-padded row count:
-        rows [0,m) = (X||Y), rows [m,2m) = (X||-Y).  A signed digit
-        gathers from the second half — the per-point negation costs one
-        index add instead of a masked negate pass over the gathered
-        stream.  Pow2 padding keeps the gather/madd program shapes
-        stable across the prover's different query-table sizes."""
-        ec = self.ec
-        n = X.shape[0]
+    def _mont_u8(self, comps: np.ndarray) -> np.ndarray:
+        """(M, NL) u64 canonical prime-field coordinates -> (M, KP) u8
+        canonical limbs of x*R mod p (Montgomery form).  Host-side via
+        the native C++ tier: canonical [0, p) values give strict 8-bit
+        limbs, which is what makes the uint8 device table exact (the
+        madd kernel widens them to f32 in VMEM)."""
+        fp = self.ec.fp
+        p = fp.p
+        M = comps.shape[0]
+        r_mod = fp.R % p
+        try:
+            from ..native import NL, ints_to_limbs, vec_op
+
+            rrow = np.broadcast_to(ints_to_limbs([r_mod]), (M, NL))
+            mont = vec_op(p, "mul", np.ascontiguousarray(comps), rrow)
+        except Exception:
+            from ..native import NL, ints_to_limbs, limbs_to_ints
+
+            mont = ints_to_limbs([v * r_mod % p
+                                  for v in limbs_to_ints(comps)])
+        u8 = np.ascontiguousarray(mont).view(np.uint8).reshape(M, -1)
+        kp = fp.kp
+        if u8.shape[1] >= kp:
+            return np.ascontiguousarray(u8[:, :kp])
+        return np.pad(u8, [(0, 0), (0, kp - u8.shape[1])])
+
+    def _neg_u8(self, comps_u8: np.ndarray) -> np.ndarray:
+        """(M, KP) u8 Montgomery limbs -> limbs of (p - x) mod p."""
+        fp = self.ec.fp
+        p = fp.p
+        M = comps_u8.shape[0]
+        try:
+            from ..native import NL, vec_op
+
+            full = np.zeros((M, NL * 8), dtype=np.uint8)
+            full[:, : comps_u8.shape[1]] = comps_u8
+            neg = vec_op(p, "sub", np.zeros((M, NL), dtype="<u8"),
+                         full.view("<u8").reshape(M, NL))
+        except Exception:
+            from ..native import NL, ints_to_limbs, limbs_to_ints
+
+            full = np.zeros((M, NL * 8), dtype=np.uint8)
+            full[:, : comps_u8.shape[1]] = comps_u8
+            neg = ints_to_limbs(
+                [(p - v) % p
+                 for v in limbs_to_ints(full.view("<u8").reshape(M, NL))])
+        u8 = np.ascontiguousarray(neg).view(np.uint8).reshape(M, -1)
+        kp = fp.kp
+        return np.ascontiguousarray(u8[:, :kp])
+
+    def _doubled_u8(self, Xu8, Yu8, Ynu8, inf):
+        """Build the (2m, 2W) uint8 combined table: rows [0,m) = (X||Y),
+        rows [m,2m) = (X||-Y); m = pow2-padded row count (stable gather
+        and madd program shapes across the prover's table sizes).  A
+        signed digit gathers from the second half, so the per-point
+        negation costs one index add.  uint8 canonical limbs: 4x less
+        HBM per gathered row AND 4x less one-time table upload than the
+        old f32 table."""
+        n, W = Xu8.shape
         m = 1
         while m < n:
             m *= 2
+        out = np.zeros((2 * m, 2 * W), dtype=np.uint8)
+        fin = np.asarray(inf, dtype=bool)
+        if fin.any():
+            keep = ~fin[:, None]
+            Xu8 = np.where(keep, Xu8, 0)
+            Yu8 = np.where(keep, Yu8, 0)
+            Ynu8 = np.where(keep, Ynu8, 0)
+        out[:n, :W] = Xu8
+        out[:n, W:] = Yu8
+        out[m : m + n, :W] = Xu8
+        out[m : m + n, W:] = Ynu8
+        return jax.device_put(out)
 
-        @jax.jit
-        def build(X, Y):
-            if m != n:
-                Xp = jnp.pad(X, [(0, m - n), (0, 0)])
-                Yp = jnp.pad(Y, [(0, m - n), (0, 0)])
-            else:
-                Xp, Yp = X, Y
-            Yn = ec.neg_y_slab(Yp)
-            return jnp.concatenate(
-                [jnp.concatenate([Xp, Yp], axis=1),
-                 jnp.concatenate([Xp, Yn], axis=1)], axis=0)
+    def _coords_u8(self, xs, ys, n):
+        """Per-component Montgomery u8 slabs for (n, D*NL) u64 coords."""
+        ec = self.ec
+        d = getattr(ec, "d", 1)
+        kp = ec.fp.kp
+        from ..native import NL
 
-        return build(X, Y)
+        xs5 = np.ascontiguousarray(xs, dtype="<u8").reshape(n * d, NL)
+        ys5 = np.ascontiguousarray(ys, dtype="<u8").reshape(n * d, NL)
+        xm = self._mont_u8(xs5)
+        ym = self._mont_u8(ys5)
+        yn = self._neg_u8(ym)
+        W = d * kp
+        return (xm.reshape(n, W), ym.reshape(n, W), yn.reshape(n, W))
 
     def encode_table(self, points):
-        """Host point list -> (device (2n, 2*KP) doubled X||(+-Y) affine
-        table, infinity mask).  Infinite rows are excluded by the
+        """Host point list -> (device (2m, 2W) uint8 doubled X||(+-Y)
+        affine table, infinity mask).  Infinite rows are excluded by the
         scheduler, never gathered."""
-        X, Y, _ = self.ec.encode_points(points)
+        from ..native import _points_to_arrays
+
+        ec = self.ec
+        d = getattr(ec, "d", 1)
         inf = np.array([p.is_infinity() for p in points], dtype=bool)
-        return self._doubled(jnp.asarray(X), jnp.asarray(Y)), inf
+        xs, ys, _ = _points_to_arrays(points, d)
+        Xu8, Yu8, Ynu8 = self._coords_u8(xs, ys, len(points))
+        return self._doubled_u8(Xu8, Yu8, Ynu8, inf), inf
 
     def table_from_limbs(self, xs, ys, inf):
         """Canonical u64 limb coordinate arrays (native EncodedPoints
-        layout) -> doubled device table; Montgomery encode on device."""
-        X, Y, _ = self.ec.encode_from_limbs(xs, ys, inf)
-        return self._doubled(X, Y), np.asarray(inf, bool)
+        layout) -> doubled uint8 device table; Montgomery encode runs on
+        the HOST C++ tier (canonical outputs are exactly 8-bit limbs)."""
+        n = xs.shape[0]
+        Xu8, Yu8, Ynu8 = self._coords_u8(xs, ys, n)
+        return self._doubled_u8(Xu8, Yu8, Ynu8, inf), np.asarray(inf, bool)
 
     def schedule_any(self, limbs: np.ndarray, inf=None) -> StreamSchedule:
         """Native (threaded C++) schedule when available, numpy fallback
@@ -330,7 +474,7 @@ class StreamMSMCtx:
             out = None
         if out is not None:
             perm, loads, bidx, T = out
-            return StreamSchedule(perm, loads, bidx, T)
+            return StreamSchedule(perm, loads, bidx, T, self.L)
         mags, signs = self.digits_signed(limbs)
         return self.schedule(mags, signs, inf)
 
@@ -366,16 +510,19 @@ class StreamMSMCtx:
         stride = max(1, max_inflight // 2)
         accs = []
         for w in range(self.nwin):
-            pw = jax.device_put(sched.perm[w])
+            plo = jax.device_put(sched.perm_lo[w])
+            phi = jax.device_put(sched.perm_hi[w])
             lw = jax.device_put(sched.loads[w])
-            accs.append(self._madd_win_dev(XY, pw, lw))
+            accs.append(self._madd_win_dev(XY, plo, phi, lw))
             lag = w - max_inflight
             if lag >= 0 and w % stride == 0:
                 float(accs[lag][0][0, 0])
         stacked = tuple(jnp.stack([a[i] for a in accs])
                         for i in range(3))
-        return self._finish_dev(stacked,
-                                jnp.asarray(sched.bidx.reshape(-1)))
+        return self._finish_dev(
+            stacked, jnp.asarray(sched.bidx.reshape(-1)),
+            jnp.asarray(sched.runrem.reshape(-1).astype(np.int32)),
+            sched.maxrun)
 
     def msm_limbs(self, XY, limbs: np.ndarray, inf=None):
         """Combined device table + (n, NL) u64 canonical limb scalars ->

@@ -53,8 +53,10 @@ def test_digits_signed_reconstruct(sctx, toy):
 
 
 def test_schedule_invariants(sctx, toy):
-    """Every nonzero digit is placed exactly once; loads match; bidx
-    points at the first lane of the smallest nonempty bucket >= j."""
+    """Every nonzero digit is placed exactly once; loads match; the
+    direct bidx points at each nonempty bucket's first lane (sentinel
+    elsewhere); runrem counts the lanes left in the lane's bucket
+    segment and maxrun bounds every segment."""
     r = toy.g1.order
     rng = np.random.default_rng(1)
     n = 77
@@ -65,6 +67,8 @@ def test_schedule_invariants(sctx, toy):
     inf[3] = True
     sched = sctx.schedule(mags, signs, inf)
     L = sctx.L
+    perm = sched.perm_unpacked()
+    SENT = sctx.nwin * L
     for w in range(sctx.nwin):
         mag = np.where(inf, 0, mags[w])
         # multiset of placed (point, sign) pairs == nonzero digits
@@ -72,7 +76,7 @@ def test_schedule_invariants(sctx, toy):
         for t in range(sched.T):
             for lane in range(L):
                 if t < sched.loads[w, lane]:
-                    v = int(sched.perm[w, t, lane])
+                    v = int(perm[w, t, lane])
                     placed[(v & 0x7FFFFFFF, v >> 31)] = placed.get(
                         (v & 0x7FFFFFFF, v >> 31), 0) + 1
         expect = {}
@@ -82,6 +86,24 @@ def test_schedule_invariants(sctx, toy):
                 expect[k] = expect.get(k, 0) + 1
         assert placed == expect, f"window {w} placement mismatch"
         assert int(sched.loads[w].sum()) == int((mag != 0).sum())
+        # segment structure: lanes of one bucket fold only that bucket
+        counts = np.bincount(mag, minlength=sctx.B + 1)[1:]
+        starts = [int(sched.bidx[w, b]) - w * L
+                  for b in range(sctx.B) if counts[b] > 0]
+        assert starts == sorted(starts)
+        for b in range(sctx.B):
+            if counts[b] == 0:
+                assert int(sched.bidx[w, b]) == SENT
+        used = int(np.count_nonzero(sched.loads[w]))
+        ends = starts[1:] + [used]
+        for s0, e0 in zip(starts, ends):
+            seglen = e0 - s0
+            assert 1 <= seglen <= sched.maxrun
+            for lane in range(s0, e0):
+                assert int(sched.runrem[w, lane]) == e0 - lane
+        # the lanes of bucket b hold exactly counts[b] points in total
+        for bi, (s0, e0) in enumerate(zip(starts, ends)):
+            assert int(sched.loads[w, s0:e0].sum()) > 0
 
 
 def test_native_schedule_matches_numpy_semantics(sctx, toy):
