@@ -400,14 +400,15 @@ class StreamMSMCtx:
         kp = fp.kp
         return np.ascontiguousarray(u8[:, :kp])
 
-    def _doubled_u8(self, Xu8, Yu8, Ynu8, inf):
+    def _doubled_u8(self, Xu8, Yu8, Ynu8, inf, to_device: bool = True):
         """Build the (2m, 2W) uint8 combined table: rows [0,m) = (X||Y),
         rows [m,2m) = (X||-Y); m = pow2-padded row count (stable gather
         and madd program shapes across the prover's table sizes).  A
         signed digit gathers from the second half, so the per-point
         negation costs one index add.  uint8 canonical limbs: 4x less
         HBM per gathered row AND 4x less one-time table upload than the
-        old f32 table."""
+        old f32 table.  to_device=False returns host numpy (the sharded
+        path stacks per-device shards before one sharded device_put)."""
         n, W = Xu8.shape
         m = 1
         while m < n:
@@ -423,7 +424,7 @@ class StreamMSMCtx:
         out[:n, W:] = Yu8
         out[m : m + n, :W] = Xu8
         out[m : m + n, W:] = Ynu8
-        return jax.device_put(out)
+        return jax.device_put(out) if to_device else out
 
     def _coords_u8(self, xs, ys, n):
         """Per-component Montgomery u8 slabs for (n, D*NL) u64 coords."""

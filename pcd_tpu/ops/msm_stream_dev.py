@@ -1,0 +1,297 @@
+"""Device-scheduled stream MSM ("stream v3") — the scalar->bucket
+schedule is computed ON THE CHIP, so the only per-MSM host->device
+transfer is the canonical scalar limbs themselves.
+
+Why: on the host-scheduled path (ops/msm_stream.py) the packed schedule
+is ~94 B/point (perm + loads + finish metadata); on a tunneled or
+PCIe-constrained host the wire is the MSM critical path (measured
+24.6 MB at 2^18 vs the ~10.5 MB of scalar limbs — VERDICT r4 item 1).
+A v5e sorts all windows' digit keys in ~10-30 ms (batched jnp.argsort),
+so the whole counting-placement scheduler moves on-device:
+
+  P1 (one jit):  u32 limb words -> signed c-bit digits (carry chain)
+                 -> batched per-window argsort -> bucket histograms
+                 (vmapped searchsorted over the sorted keys).
+  host:          fetches ONLY the (nwin, B+1) histogram (~200 KB) and
+                 picks PER-WINDOW round counts T_w (quantized; jit cache
+                 keys) plus the finish scan depth.
+  P2a (one jit): per-window lane metadata — the proportional
+                 ceil(count/T_w) allocation, exactly the host
+                 scheduler's placement law — with T_w a DEVICE value, so
+                 one compiled program covers every distribution.
+  P2w (one jit per quantized T_w): a window's gather indices computed
+                 ARITHMETICALLY from sorted ranks (no perm array ever
+                 exists) -> chunked table gather + fused madd rounds.
+                 Windows with no nonzero digits dispatch NOTHING — with
+                 low-entropy scalar batches most windows cost zero.
+  P2f:           two-phase bucket finish (shared _finish_dev) over the
+                 ACTIVE windows only.
+
+The Horner tail stays on host (active windows only; empty windows
+contribute identity).  Zero digits land in "bucket 0", which is
+allocated no lanes; infinities are masked to digit 0 via the per-table
+infinity mask (device-resident, uploaded once with the table).
+
+Reference parity: same prover MSM as ops/msm_stream.py (ark-groth16
+prove hot sites, ec_cycle_pcd/mod.rs:171,179).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .msm_stream import StreamMSMCtx, stream_ctx
+
+
+class DevSchedMSM:
+    """Device-scheduled pipeline over a StreamMSMCtx's curve/kernels."""
+
+    def __init__(self, sctx: StreamMSMCtx):
+        self.sctx = sctx
+        self._p1_cache = {}
+        self._p2a = None
+        self._p2w_cache = {}
+
+    # -- host-side upload helpers -----------------------------------------
+    def limbs_u32(self, limbs: np.ndarray) -> np.ndarray:
+        """(n, NL) u64 canonical limb rows -> (n, 2*NL) u32 words
+        (little-endian; the same bytes, the wire-minimal upload)."""
+        n = limbs.shape[0]
+        return np.ascontiguousarray(limbs).view("<u4").reshape(n, -1)
+
+    # -- P1: digits + sort + histogram ------------------------------------
+    def _p1(self, nwords: int):
+        hit = self._p1_cache.get(nwords)
+        if hit is not None:
+            return hit
+        s = self.sctx
+        c, base, B = s.c, s.base_windows, s.B
+        carry_win = s.carry_win
+        mask = np.uint32((1 << c) - 1)
+        half = 1 << (c - 1)
+        full = 1 << c
+
+        @jax.jit
+        def p1(W, inf):
+            n = W.shape[0]
+            Wp = jnp.concatenate(
+                [W, jnp.zeros((n, 1), dtype=jnp.uint32)], axis=1)
+            mags = []
+            signs = []
+            carry = jnp.zeros((n,), dtype=jnp.int32)
+            for w in range(base):
+                bit = w * c
+                w0, sh = bit // 32, bit % 32
+                v = Wp[:, w0] >> np.uint32(sh)
+                if sh + c > 32:
+                    v = v | (Wp[:, w0 + 1] << np.uint32(32 - sh))
+                d = (v & mask).astype(jnp.int32) + carry
+                if w == base - 1 and not carry_win:
+                    # top window absorbs the carry unsigned (mag <= B by
+                    # the headroom condition in StreamMSMCtx.__init__)
+                    mags.append(d)
+                    signs.append(jnp.zeros((n,), dtype=jnp.int32))
+                    break
+                cy = (d >= half).astype(jnp.int32)
+                d = d - cy * full
+                neg = d < 0
+                mags.append(jnp.where(neg, -d, d))
+                signs.append(neg.astype(jnp.int32))
+                carry = cy
+            if carry_win:
+                mags.append(carry)
+                signs.append(jnp.zeros((n,), dtype=jnp.int32))
+            mags = jnp.stack(mags)                      # (nwin, n)
+            signs = jnp.stack(signs)
+            if inf is not None:
+                mags = jnp.where(inf[None, :], 0, mags)
+            order = jnp.argsort(mags, axis=1).astype(jnp.int32)
+            skeys = jnp.take_along_axis(mags, order, axis=1)
+            qs = jnp.arange(B + 2, dtype=jnp.int32)
+            bounds = jax.vmap(
+                lambda row: jnp.searchsorted(row, qs))(skeys)
+            counts = (bounds[:, 1:] - bounds[:, :-1]).astype(jnp.int32)
+            return order, signs, counts                 # counts: (nwin,B+1)
+
+        self._p1_cache[nwords] = p1
+        return p1
+
+    # -- host: per-window shape selection from the fetched histogram ------
+    def _pick_shapes(self, counts: np.ndarray):
+        """counts (nwin, B+1) -> (T_w int array with 0 for empty windows,
+        maxrun pow2).  T_w quantized to multiples of 8 (jit cache keys)."""
+        s = self.sctx
+        Tw = np.zeros(s.nwin, dtype=np.int64)
+        mr = 1
+        for w in range(s.nwin):
+            cnz = counts[w, 1:]
+            m = int(cnz.sum())
+            if m == 0:
+                continue
+            t = -(-s._fit_T(cnz, m) // 8) * 8
+            Tw[w] = t
+            mr = max(mr, int((-(-cnz // t)).max()))
+        maxrun = 1
+        while maxrun < mr:
+            maxrun *= 2
+        return Tw, maxrun
+
+    # -- P2a: placement metadata (one compiled program, any T_w) ----------
+    def _meta(self):
+        if self._p2a is not None:
+            return self._p2a
+        s = self.sctx
+        L, B, nwin = s.L, s.B, s.nwin
+
+        @jax.jit
+        def p2a(counts, Tw):
+            cnz = counts[:, 1:]                          # (nwin, B) int32
+            Tw1 = jnp.maximum(Tw, 1)[:, None]
+            lanes_b = (cnz + Tw1 - 1) // Tw1             # 0 for empty
+            starts = jnp.concatenate(
+                [jnp.zeros((nwin, 1), jnp.int32),
+                 jnp.cumsum(lanes_b[:, :-1], axis=1)], axis=1)
+            used = starts[:, -1] + lanes_b[:, -1]
+            off_b = counts[:, :1] + jnp.concatenate(
+                [jnp.zeros((nwin, 1), jnp.int32),
+                 jnp.cumsum(cnz[:, :-1], axis=1)], axis=1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
+            # owner bucket of each lane: last b with starts[b] <= l
+            # (empty buckets have zero span and sit before their owner
+            # at the same start, so side='right' lands on the owner)
+            b_l = (jax.vmap(lambda st: jnp.searchsorted(
+                st, lane, side="right"))(starts) - 1)    # (nwin, L)
+            b_l = jnp.clip(b_l, 0, B - 1)
+            take = lambda M: jnp.take_along_axis(M, b_l, axis=1)
+            st_l = take(starts)
+            lb_l = jnp.maximum(take(lanes_b), 1)
+            cz_l = take(cnz)
+            of_l = take(off_b)
+            j_l = lane[None, :] - st_l
+            valid_l = lane[None, :] < used[:, None]
+            loads = jnp.where(valid_l,
+                              (cz_l - j_l + lb_l - 1) // lb_l, 0)
+            runrem = jnp.where(valid_l,
+                               st_l + take(lanes_b) - lane[None, :], 0)
+            # per-window LOCAL first-lane index per bucket; sentinel BIG
+            # (the finish assembles active windows and rebases these)
+            bidx_rel = jnp.where(cnz > 0, starts,
+                                 jnp.int32(nwin * L + L))
+            return of_l, lb_l, j_l, loads, runrem, bidx_rel
+
+        self._p2a = p2a
+        return p2a
+
+    # -- P2w: one window's gather + madd rounds ----------------------------
+    def _p2w(self, T: int, n: int, m2: int):
+        key = (T, n, m2)
+        hit = self._p2w_cache.get(key)
+        if hit is not None:
+            return hit
+        s = self.sctx
+        ec = s.ec
+        kw = ec.kw
+        L = s.L
+        n2 = m2 // 2
+        tc = max(4, min(T, s.CHUNK_BYTES // (2 * L * 2 * kw * 4)))
+
+        @jax.jit
+        def p2w(XY, order_w, signs_w, of_w, lb_w, j_w, ld_w):
+            iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+            k = of_w[None, :] + iota_t * lb_w[None, :] + j_w[None, :]
+            k = jnp.clip(k, 0, n - 1)                    # (T, L)
+            acc = None
+            for t0 in range(0, T, tc):
+                t1 = min(T, t0 + tc)
+                pidx = jnp.take(order_w, k[t0:t1].reshape(-1))
+                sgn = jnp.take(signs_w, pidx)
+                tix = pidx + sgn * n2
+                G = jnp.take(XY, tix, axis=0)
+                Gt = jnp.transpose(
+                    G.reshape(t1 - t0, L, 2 * kw),
+                    (0, 2, 1)).astype(jnp.float32)
+                lw = jnp.clip(ld_w - t0, 0, t1 - t0)
+                acc = ec.madd_accumulate(Gt, lw, init=acc)
+            return acc
+
+        self._p2w_cache[key] = p2w
+        return p2w
+
+    # -- entry points -------------------------------------------------------
+    def window_sums(self, XY, limbs32_dev, inf_dev=None):
+        """Device (n, W32) u32 limb words (+ optional device inf mask) ->
+        (active window indices, window-sum device arrays over the active
+        windows).  One small histogram fetch sits between P1 and the
+        per-window dispatches (it selects the static kernel shapes);
+        everything else is async."""
+        s = self.sctx
+        n, nwords = limbs32_dev.shape
+        order, signs, counts = self._p1(nwords)(limbs32_dev, inf_dev)
+        counts_h = np.asarray(counts)
+        Tw, maxrun = self._pick_shapes(counts_h)
+        of_l, lb_l, j_l, loads, runrem, bidx_rel = \
+            self._meta()(counts, jnp.asarray(Tw.astype(np.int32)))
+        act = [w for w in range(s.nwin) if Tw[w] > 0]
+        if not act:
+            return [], None
+        m2 = int(XY.shape[0])
+        accs = []
+        for w in act:
+            p2w = self._p2w(int(Tw[w]), n, m2)
+            accs.append(p2w(XY, order[w], signs[w], of_l[w], lb_l[w],
+                            j_l[w], loads[w]))
+        stacked = tuple(jnp.stack([a[i] for a in accs]) for i in range(3))
+        nact = len(act)
+        L = s.L
+        aidx = jnp.asarray(np.asarray(act, dtype=np.int32))
+        # rebase the per-window-local finish metadata to the active stack
+        bidx_act = jnp.take(bidx_rel, aidx, axis=0) \
+            + (jnp.arange(nact, dtype=jnp.int32) * L)[:, None]
+        bidx_act = jnp.minimum(bidx_act, nact * L)
+        run_act = jnp.take(runrem, aidx, axis=0)
+        ws = s._finish_dev(stacked, bidx_act.reshape(-1),
+                           run_act.reshape(-1), maxrun)
+        return act, ws
+
+    def horner_host(self, act, wsn) -> object:
+        """Horner tail over the active-window sums (empty windows are
+        identity and only pay their doublings)."""
+        s = self.sctx
+        pos = {w: i for i, w in enumerate(act)}
+        acc = s.curve.infinity()
+        for w in reversed(range(s.nwin)):
+            for _ in range(s.c):
+                acc = acc.double()
+            i = pos.get(w)
+            if i is not None:
+                acc = acc + s.ec.decode_point(
+                    tuple(c[i: i + 1] for c in wsn))
+        return acc
+
+    def msm_limbs(self, XY, limbs: np.ndarray, inf=None):
+        """Host (n, NL) u64 limb rows -> host point (uploads the limbs,
+        schedules + accumulates on device, Horner tail on host)."""
+        W = jax.device_put(self.limbs_u32(limbs))
+        inf_dev = None
+        if inf is not None and np.asarray(inf).any():
+            inf_dev = jax.device_put(np.asarray(inf, dtype=bool))
+        act, ws = self.window_sums(XY, W, inf_dev)
+        if not act:
+            return self.sctx.curve.infinity()
+        return self.horner_host(act, tuple(np.asarray(c) for c in ws))
+
+    def msm(self, points, scalars):
+        XY, inf = self.sctx.encode_table(points)
+        nbytes = (self.sctx.scalar_bits + 63) // 64 * 8
+        limbs = self.sctx.limb_rows(scalars, nbytes)
+        return self.msm_limbs(XY, limbs, inf)
+
+
+@lru_cache(maxsize=None)
+def devsched_ctx(curve, scalar_bits: int, c: int = 12,
+                 lanes: int = 8192) -> DevSchedMSM:
+    return DevSchedMSM(stream_ctx(curve, scalar_bits, c, lanes))

@@ -328,6 +328,46 @@ class DistContext:
         self._msm_cache = {}
         self._h_cache = {}
         self._query_cache = {}
+        self._stream_cache = {}
+        self._stream_tables = {}
+
+    # -- distributed STREAM MSM (the production tier; VERDICT r4 item 4:
+    # -- the mesh must shard the stream architecture, not the legacy scan)
+    def _stream_params(self, n: int):
+        """(c, lanes) sized to the per-device point shard: lanes bound the
+        VMEM accumulator footprint and must cover every nonempty bucket
+        (ops/msm_stream.StreamMSMCtx asserts lanes > B//8)."""
+        n_loc = max(1, n // self.ndev)
+        if n_loc >= 16384:
+            return 12, 4096
+        if n_loc >= 2048:
+            return 10, 1024
+        return 8, 256
+
+    def stream_msm(self, curve, scalar_bits: int, points, scalars):
+        """Point-sharded stream MSM over a host point list (table cached
+        per query identity): each chip schedules + accumulates its point
+        shard on its table shard, per-chip window sums are all_gathered
+        and tree-combined in-graph, Horner tail on host."""
+        from .stream_dist import ShardedStreamMSM
+
+        n = len(points)
+        c, lanes = self._stream_params(n)
+        key = (curve, scalar_bits, c, lanes)
+        smsm = self._stream_cache.get(key)
+        if smsm is None:
+            smsm = ShardedStreamMSM(curve, scalar_bits, self.mesh,
+                                    self.axis, c=c, lanes=lanes)
+            self._stream_cache[key] = smsm
+        tkey = (id(points), key)
+        tab = self._stream_tables.get(tkey)
+        if tab is None:
+            tab = smsm.encode_table(points)
+            self._stream_tables[tkey] = tab
+        XY, infs = tab
+        nbytes = (scalar_bits + 63) // 64 * 8
+        limbs = smsm.sctx.limb_rows([int(s) for s in scalars], nbytes)
+        return smsm.msm_limbs(XY, limbs, infs)
 
     def h_poly(self, F, N):
         """DistHPoly for (F, N), or None when N has no (n1, n2) split with

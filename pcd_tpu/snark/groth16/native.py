@@ -148,6 +148,19 @@ class Groth16:
 
             from ...ops.msm_tensor import msm_ctx_for
 
+            if self.dist is not None:
+                from ...ops.msm_stream import stream_ok
+
+                if stream_ok(query.curve):
+                    # the mesh shards the production STREAM architecture
+                    # (parallel/stream_dist.py); the legacy scan shard
+                    # below only covers curves the stream tier can't take
+                    pts = getattr(query, "_host_pts", None)
+                    if pts is None:
+                        pts = query.to_host()
+                        query._host_pts = pts
+                    return self.dist.stream_msm(query.curve, self.Fr.BITS,
+                                                pts, scalars)
             mctx = msm_ctx_for(query.curve, self.Fr.BITS, len(query))
             if digits is None or digits.shape[0] != mctx.nwin:
                 # shared digits only help when the window size matches

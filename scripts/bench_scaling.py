@@ -48,14 +48,21 @@ def main():
     for ndev in (1, 8):
         mesh = make_mesh(ndev)
         dctx = DistContext(mesh)
-        mctx = msm_ctx(cfg.g1, F.BITS)
-        X, Y, Z = mctx.ec.encode_points(pts)
-        P = (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z))
-        digits = jnp.asarray(mctx.digits_from_ints(scalars))
-        dctx.msm(mctx, P, digits)  # compile
+        # the PRODUCTION MSM tier, point-sharded (parallel/stream_dist.py;
+        # VERDICT r4 item 4 — the vmesh measurement must cover the stream
+        # architecture, not the deprecated scan path)
+        from pcd_tpu.parallel.stream_dist import ShardedStreamMSM
+
+        # equal TOTAL lane capacity across device counts so the ratio
+        # isolates the sharding overhead (per-device work ~1/ndev)
+        smsm = ShardedStreamMSM(cfg.g1, F.BITS, mesh, c=8,
+                                lanes=max(128, 1024 // ndev))
+        XY, infs = smsm.encode_table(pts)
+        limbs = smsm.sctx.limb_rows(scalars, (F.BITS + 63) // 64 * 8)
+        smsm.msm_limbs(XY, limbs, infs)  # compile
         t0 = time.time()
         for _ in range(3):
-            dctx.msm(mctx, P, digits)
+            smsm.msm_limbs(XY, limbs, infs)
         out[f"msm_{ndev}dev_s"] = round((time.time() - t0) / 3, 3)
 
         dh = DistHPoly(F, dom.n, mesh)
