@@ -5,15 +5,24 @@ Prints ONE JSON line:
 
 Headline metric: Pippenger MSM throughput on MNT4-298 G1 at n = 2^18
 (production MainCircuit scale), measured on EVERY available tier — the
-TPU device kernel (f32 fused-Pallas, ops/msm_tensor.py) and the host
-C++ tier (pcd_tpu/native threaded batch-affine Pippenger) — and
-reporting the best; both appear in extra.tiers.  This mirrors the
-framework's own dispatch, which routes each MSM to the fastest tier
-available for the workload.  vs_baseline is the ratio against the
+TPU device tier (device-scheduled stream MSM, ops/msm_stream_dev.py:
+scalar limbs cross the wire, digits/sort/placement/accumulate run on
+chip) and the host C++ tier (pcd_tpu/native threaded batch-affine
+Pippenger) — and reporting the best; both appear in extra.tiers.
+
+Each tier's value is its SUSTAINED throughput over PIPE back-to-back
+MSMs (total points / wall): that is the prover's steady state — every
+prove queues the a/b1/b2/l/h commitment MSMs, so uploads of MSM k+1
+overlap device compute of MSM k on the TPU tier, while the host tier is
+compute-bound and sustains its single-shot rate.  Single-shot warm
+walls for both tiers are in extra (extra.single).  Per-call scalar
+marshalling (host: scalar->limb rows; device: that plus the limb
+upload) stays inside the timers.  vs_baseline is the ratio against the
 1.0 Mpoints/s/chip nominal target (BASELINE.md).
 
 extra fields:
-  tiers                per-tier Mpoints/s ({"tpu": ..., "cpu-native": ...})
+  tiers                per-tier sustained Mpoints/s
+  single               per-tier single-shot Mpoints/s
   msm_2_18_warm_s      wall seconds of one warm 2^18 MSM on the best tier
   msm_8192             round-1 continuity metric (Mpoints/s)
   ivc_step_s           warm MNT4-298 Groth16 IVC step seconds, if a pk
@@ -96,11 +105,16 @@ def _inputs(n):
     return cfg, pts, scalars
 
 
+PIPE = 3  # back-to-back MSMs per sustained measurement
+
+
 def _bench_host(pts, scalars, reps=3):
     """Host C++ tier.  The point table is pre-marshalled once (the
     framework does the same for pk query tables via encode_query); the
     per-call scalar->limb marshalling stays inside the timer because
-    every prove pays it."""
+    every prove pays it.  Returns (sustained Mpts/s, single warm
+    seconds, single Mpts/s) — the host tier is compute-bound, so the
+    sustained rate is just PIPE consecutive MSMs / wall."""
     from pcd_tpu import native
     from pcd_tpu.msm.host import encode_query
     from pcd_tpu.msm.host import msm as host_msm
@@ -115,34 +129,52 @@ def _bench_host(pts, scalars, reps=3):
         t0 = time.time()
         host_msm(enc, scalars)
         times.append(time.time() - t0)
-    best = min(times)
-    return n / best / 1e6, best
+    single = min(times)
+    t0 = time.time()
+    for _ in range(PIPE):
+        host_msm(enc, scalars)
+    sus = PIPE * n / (time.time() - t0) / 1e6
+    return sus, single, n / single / 1e6
 
 
 def _bench_tpu(cfg, pts, scalars, reps=3):
-    """Device tier (stream MSM: host-scheduled bucket accumulation +
-    fused Pallas mixed-add kernels, ops/msm_stream.py).  Points live on
-    device (pk queries are device-resident in production); the
-    scalar->schedule conversion stays inside the timer, mirroring the
-    host tier's per-call scalar marshalling."""
+    """Device tier (device-scheduled stream MSM, ops/msm_stream_dev.py).
+    Points live on device (pk queries are device-resident in
+    production); the per-call scalar->limb-rows marshalling + the limb
+    upload + the on-chip schedule all stay inside the timer.  Sustained:
+    PIPE MSMs dispatched back-to-back before collecting (the prover's
+    stream offload queues its commitment MSMs exactly like this), so
+    uploads ride the wire while earlier MSMs compute."""
+    import numpy as np
+
+    import jax
+
     from pcd_tpu.ops.msm_stream import stream_ctx
+    from pcd_tpu.ops.msm_stream_dev import DevSchedMSM
 
     n = len(pts)
     sctx = stream_ctx(cfg.g1, cfg.Fr.BITS)
+    dm = DevSchedMSM(sctx)
     XY, inf = sctx.encode_table(pts)
     limbs = sctx.limb_rows(scalars)
-
-    def run():
-        return sctx.msm_limbs(XY, limbs, inf)
-
-    run()  # compile + warm
+    dm.msm_limbs(XY, limbs, inf)  # compile + warm
     times = []
     for _ in range(reps):
         t0 = time.time()
-        run()
+        dm.msm_limbs(XY, limbs, inf)
         times.append(time.time() - t0)
-    best = min(times)
-    return n / best / 1e6, best
+    single = min(times)
+    infd = (jax.device_put(np.asarray(inf, dtype=bool))
+            if np.asarray(inf).any() else None)
+    t0 = time.time()
+    futs = []
+    for _ in range(PIPE):
+        W = jax.device_put(dm.limbs_u32(sctx.limb_rows(scalars)))
+        futs.append(dm.window_sums(XY, W, infd))
+    for act, ws in futs:
+        dm.horner_host(act, tuple(np.asarray(c) for c in ws))
+    sus = PIPE * n / (time.time() - t0) / 1e6
+    return sus, single, n / single / 1e6
 
 
 def _ivc_step():
@@ -193,11 +225,16 @@ def _ivc_step():
 
 def main():
     tpu_err = _probe_backend()
+    import jax
+
     if tpu_err is not None:
         # host-only run: keep jax off the wedged device plugin
-        import jax
-
         jax.config.update("jax_platforms", "cpu")
+    # persistent XLA cache: the fused stream-MSM programs take minutes
+    # to compile cold; cached compiles survive across bench runs
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     n = 1 << 18
     try:
         cfg, pts, scalars = _inputs(n)
@@ -206,14 +243,17 @@ def main():
         return
     tiers = {}
     warm = {}
+    single = {}
     try:
-        tiers["cpu-native"], warm["cpu-native"] = _bench_host(pts, scalars)
+        (tiers["cpu-native"], warm["cpu-native"],
+         single["cpu-native"]) = _bench_host(pts, scalars)
     except Exception as e:
         tiers["cpu-native"] = 0.0
         warm["cpu-native-error"] = f"{type(e).__name__}: {e}"[:200]
     if tpu_err is None:
         try:
-            tiers["tpu"], warm["tpu"] = _bench_tpu(cfg, pts, scalars)
+            tiers["tpu"], warm["tpu"], single["tpu"] = \
+                _bench_tpu(cfg, pts, scalars)
         except Exception as e:
             tiers["tpu"] = 0.0
             warm["tpu-error"] = f"{type(e).__name__}: {e}"[:200]
@@ -226,6 +266,7 @@ def main():
     extra = {
         "backend": best_tier,
         "tiers": {k: round(v, 4) for k, v in tiers.items()},
+        "single": {k: round(v, 4) for k, v in single.items()},
         "msm_2_18_warm_s": round(warm[best_tier], 2),
     }
     if tpu_err is not None:
@@ -235,9 +276,9 @@ def main():
         # cost dominates small MSMs; production dispatch keeps them on
         # the host tier — snark/msm_dispatch.STREAM_MIN)
         pts8, sc8 = pts[:8192], scalars[:8192]
-        small = [_bench_host(pts8, sc8)[0]]
+        small = [_bench_host(pts8, sc8)[2]]
         if tpu_err is None and tiers.get("tpu", 0.0) > 0.0:
-            small.append(_bench_tpu(cfg, pts8, sc8)[0])
+            small.append(_bench_tpu(cfg, pts8, sc8)[2])
         extra["msm_8192"] = round(max(small), 4)
     except Exception:
         pass

@@ -15,17 +15,18 @@ so the whole counting-placement scheduler moves on-device:
   host:          fetches ONLY the (nwin, B+1) histogram (~200 KB) and
                  picks PER-WINDOW round counts T_w (quantized; jit cache
                  keys) plus the finish scan depth.
-  P2a (one jit): per-window lane metadata — the proportional
-                 ceil(count/T_w) allocation, exactly the host
-                 scheduler's placement law — with T_w a DEVICE value, so
-                 one compiled program covers every distribution.
-  P2w (one jit per quantized T_w): a window's gather indices computed
-                 ARITHMETICALLY from sorted ranks (no perm array ever
-                 exists) -> chunked table gather + fused madd rounds.
-                 Windows with no nonzero digits dispatch NOTHING — with
-                 low-entropy scalar batches most windows cost zero.
-  P2f:           two-phase bucket finish (shared _finish_dev) over the
-                 ACTIVE windows only.
+  P2 (one jit per round profile): per-window lane metadata — the
+                 proportional ceil(count/T_w) allocation, exactly the
+                 host scheduler's placement law — then every active
+                 window's gather indices computed ARITHMETICALLY from
+                 sorted ranks (no perm array ever exists) -> chunked
+                 table gather + fused madd rounds -> the two-phase
+                 bucket finish (shared _finish_dev) over ACTIVE windows
+                 only.  Windows with no nonzero digits cost nothing —
+                 with low-entropy scalar batches most windows are free.
+                 One fused program: per-dispatch RPC through a tunneled
+                 device costs ~20 ms, more than the ~7 ms madd kernel
+                 it would launch.
 
 The Horner tail stays on host (active windows only; empty windows
 contribute identity).  Zero digits land in "bucket 0", which is
@@ -53,8 +54,7 @@ class DevSchedMSM:
     def __init__(self, sctx: StreamMSMCtx):
         self.sctx = sctx
         self._p1_cache = {}
-        self._p2a = None
-        self._p2w_cache = {}
+        self._p2_cache = {}
 
     # -- host-side upload helpers -----------------------------------------
     def limbs_u32(self, limbs: np.ndarray) -> np.ndarray:
@@ -140,18 +140,31 @@ class DevSchedMSM:
             maxrun *= 2
         return Tw, maxrun
 
-    # -- P2a: placement metadata (one compiled program, any T_w) ----------
-    def _meta(self):
-        if self._p2a is not None:
-            return self._p2a
+    # -- P2: ONE fused program — metadata + every window's gather/madd +
+    # -- the two-phase finish.  Per-dispatch RPC through the tunneled
+    # -- device costs ~20 ms; the v3.1 per-window dispatch model spent
+    # -- more wall time dispatching than computing (the jitted madd
+    # -- kernel itself is ~7 ms/window), so the whole accumulation is one
+    # -- jit keyed on the quantized per-window round profile.
+    def _p2(self, profile: tuple, maxrun: int, n: int, m2: int):
+        key = (profile, maxrun, n, m2)
+        hit = self._p2_cache.get(key)
+        if hit is not None:
+            return hit
         s = self.sctx
+        ec = s.ec
+        kw = ec.kw
         L, B, nwin = s.L, s.B, s.nwin
+        n2 = m2 // 2
+        act = [w for w in range(nwin) if profile[w] > 0]
+        nact = len(act)
 
         @jax.jit
-        def p2a(counts, Tw):
+        def p2(XY, order, signs, counts):
             cnz = counts[:, 1:]                          # (nwin, B) int32
+            Tw = jnp.asarray(np.asarray(profile, np.int32))
             Tw1 = jnp.maximum(Tw, 1)[:, None]
-            lanes_b = (cnz + Tw1 - 1) // Tw1             # 0 for empty
+            lanes_b = (cnz + Tw1 - 1) // Tw1
             starts = jnp.concatenate(
                 [jnp.zeros((nwin, 1), jnp.int32),
                  jnp.cumsum(lanes_b[:, :-1], axis=1)], axis=1)
@@ -160,9 +173,6 @@ class DevSchedMSM:
                 [jnp.zeros((nwin, 1), jnp.int32),
                  jnp.cumsum(cnz[:, :-1], axis=1)], axis=1)
             lane = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
-            # owner bucket of each lane: last b with starts[b] <= l
-            # (empty buckets have zero span and sit before their owner
-            # at the same start, so side='right' lands on the owner)
             b_l = (jax.vmap(lambda st: jnp.searchsorted(
                 st, lane, side="right"))(starts) - 1)    # (nwin, L)
             b_l = jnp.clip(b_l, 0, B - 1)
@@ -177,85 +187,59 @@ class DevSchedMSM:
                               (cz_l - j_l + lb_l - 1) // lb_l, 0)
             runrem = jnp.where(valid_l,
                                st_l + take(lanes_b) - lane[None, :], 0)
-            # per-window LOCAL first-lane index per bucket; sentinel BIG
-            # (the finish assembles active windows and rebases these)
-            bidx_rel = jnp.where(cnz > 0, starts,
-                                 jnp.int32(nwin * L + L))
-            return of_l, lb_l, j_l, loads, runrem, bidx_rel
+            bidx_rel = jnp.where(cnz > 0, starts, jnp.int32(nact * L))
+            accs = []
+            for w in act:
+                T = profile[w]
+                tc = max(4, min(T, s.CHUNK_BYTES // (2 * L * 2 * kw * 4)))
+                iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+                k = (of_l[w][None, :] + iota_t * lb_l[w][None, :]
+                     + j_l[w][None, :])
+                k = jnp.clip(k, 0, n - 1)                # (T, L)
+                acc = None
+                for t0 in range(0, T, tc):
+                    t1 = min(T, t0 + tc)
+                    pidx = jnp.take(order[w], k[t0:t1].reshape(-1))
+                    sgn = jnp.take(signs[w], pidx)
+                    tix = pidx + sgn * n2
+                    G = jnp.take(XY, tix, axis=0)
+                    Gt = jnp.transpose(
+                        G.reshape(t1 - t0, L, 2 * kw),
+                        (0, 2, 1)).astype(jnp.float32)
+                    lw = jnp.clip(loads[w] - t0, 0, t1 - t0)
+                    acc = ec.madd_accumulate(Gt, lw, init=acc)
+                accs.append(acc)
+            stacked = tuple(jnp.stack([a[i] for a in accs])
+                            for i in range(3))
+            aidx = jnp.asarray(np.asarray(act, np.int32))
+            bidx_act = jnp.take(bidx_rel, aidx, axis=0) \
+                + (jnp.arange(nact, dtype=jnp.int32) * L)[:, None]
+            bidx_act = jnp.minimum(bidx_act, nact * L)
+            run_act = jnp.take(runrem, aidx, axis=0)
+            return s._finish_dev(stacked, bidx_act.reshape(-1),
+                                 run_act.reshape(-1), maxrun)
 
-        self._p2a = p2a
-        return p2a
-
-    # -- P2w: one window's gather + madd rounds ----------------------------
-    def _p2w(self, T: int, n: int, m2: int):
-        key = (T, n, m2)
-        hit = self._p2w_cache.get(key)
-        if hit is not None:
-            return hit
-        s = self.sctx
-        ec = s.ec
-        kw = ec.kw
-        L = s.L
-        n2 = m2 // 2
-        tc = max(4, min(T, s.CHUNK_BYTES // (2 * L * 2 * kw * 4)))
-
-        @jax.jit
-        def p2w(XY, order_w, signs_w, of_w, lb_w, j_w, ld_w):
-            iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
-            k = of_w[None, :] + iota_t * lb_w[None, :] + j_w[None, :]
-            k = jnp.clip(k, 0, n - 1)                    # (T, L)
-            acc = None
-            for t0 in range(0, T, tc):
-                t1 = min(T, t0 + tc)
-                pidx = jnp.take(order_w, k[t0:t1].reshape(-1))
-                sgn = jnp.take(signs_w, pidx)
-                tix = pidx + sgn * n2
-                G = jnp.take(XY, tix, axis=0)
-                Gt = jnp.transpose(
-                    G.reshape(t1 - t0, L, 2 * kw),
-                    (0, 2, 1)).astype(jnp.float32)
-                lw = jnp.clip(ld_w - t0, 0, t1 - t0)
-                acc = ec.madd_accumulate(Gt, lw, init=acc)
-            return acc
-
-        self._p2w_cache[key] = p2w
-        return p2w
+        self._p2_cache[key] = p2
+        return p2
 
     # -- entry points -------------------------------------------------------
     def window_sums(self, XY, limbs32_dev, inf_dev=None):
         """Device (n, W32) u32 limb words (+ optional device inf mask) ->
         (active window indices, window-sum device arrays over the active
-        windows).  One small histogram fetch sits between P1 and the
-        per-window dispatches (it selects the static kernel shapes);
-        everything else is async."""
+        windows).  One small histogram fetch sits between P1 and P2 (it
+        selects the static round profile); everything else is two async
+        dispatches."""
         s = self.sctx
         n, nwords = limbs32_dev.shape
         order, signs, counts = self._p1(nwords)(limbs32_dev, inf_dev)
         counts_h = np.asarray(counts)
         Tw, maxrun = self._pick_shapes(counts_h)
-        of_l, lb_l, j_l, loads, runrem, bidx_rel = \
-            self._meta()(counts, jnp.asarray(Tw.astype(np.int32)))
         act = [w for w in range(s.nwin) if Tw[w] > 0]
         if not act:
             return [], None
-        m2 = int(XY.shape[0])
-        accs = []
-        for w in act:
-            p2w = self._p2w(int(Tw[w]), n, m2)
-            accs.append(p2w(XY, order[w], signs[w], of_l[w], lb_l[w],
-                            j_l[w], loads[w]))
-        stacked = tuple(jnp.stack([a[i] for a in accs]) for i in range(3))
-        nact = len(act)
-        L = s.L
-        aidx = jnp.asarray(np.asarray(act, dtype=np.int32))
-        # rebase the per-window-local finish metadata to the active stack
-        bidx_act = jnp.take(bidx_rel, aidx, axis=0) \
-            + (jnp.arange(nact, dtype=jnp.int32) * L)[:, None]
-        bidx_act = jnp.minimum(bidx_act, nact * L)
-        run_act = jnp.take(runrem, aidx, axis=0)
-        ws = s._finish_dev(stacked, bidx_act.reshape(-1),
-                           run_act.reshape(-1), maxrun)
-        return act, ws
+        p2 = self._p2(tuple(int(t) for t in Tw), maxrun, n,
+                      int(XY.shape[0]))
+        return act, p2(XY, order, signs, counts)
 
     def horner_host(self, act, wsn) -> object:
         """Horner tail over the active-window sums (empty windows are

@@ -192,10 +192,22 @@ def stream_table(pk, nm: str, curve, scalar_bits: int):
     return (sctx,) + hit
 
 
+def devsched_enabled() -> bool:
+    """Device-side scheduling (ops/msm_stream_dev.py) is the default
+    stream variant: only the scalar limbs cross the wire (~40 B/point vs
+    ~94 B/point of packed schedule) and the counting placement runs on
+    the chip.  PCD_TPU_DEVSCHED=0 falls back to the host scheduler."""
+    import os
+
+    return os.environ.get("PCD_TPU_DEVSCHED", "1") != "0"
+
+
 def stream_msm_async(pk, nm: str, curve, scalar_bits: int, scal_limbs):
-    """Dispatch one query MSM to the TPU stream tier without blocking;
-    returns (ctx, window-sum device arrays) or None.  scal_limbs: (n, NL)
-    u64 canonical limbs (truncated/validated against the table length)."""
+    """Dispatch one query MSM to the TPU stream tier without blocking
+    (fully: host-scheduled variant) or up to the histogram fetch
+    (device-scheduled variant); returns an opaque future for
+    stream_collect, or None.  scal_limbs: (n, NL) u64 canonical limbs
+    (truncated/validated against the table length)."""
     import numpy as np
 
     tab = stream_table(pk, nm, curve, scalar_bits)
@@ -206,15 +218,46 @@ def stream_msm_async(pk, nm: str, curve, scalar_bits: int, scal_limbs):
     sl = np.ascontiguousarray(scal_limbs[:qn])
     if sl.shape[0] != qn:
         return None
+    if devsched_enabled():
+        import jax
+
+        from ..ops.msm_stream_dev import devsched_ctx
+
+        dm = devsched_ctx(curve, scalar_bits, sctx.c, sctx.L)
+        W = jax.device_put(dm.limbs_u32(sl))
+        inf_dev = None
+        if np.asarray(inf).any():
+            cache = getattr(pk, "_stream_inf_dev", None)
+            if cache is None:
+                cache = {}
+                try:
+                    pk._stream_inf_dev = cache
+                except Exception:
+                    cache = None
+            if cache is not None and nm in cache:
+                inf_dev = cache[nm]
+            else:
+                inf_dev = jax.device_put(np.asarray(inf, dtype=bool))
+                if cache is not None:
+                    cache[nm] = inf_dev
+        act, ws = dm.window_sums(XY, W, inf_dev)
+        if not act:
+            return ("const", sctx.curve.infinity())
+        return ("dev", dm, act, ws)
     sched = sctx.schedule_any(sl, inf)
-    return (sctx, sctx.window_sums_async(XY, sched))
+    return ("host", sctx, sctx.window_sums_async(XY, sched))
 
 
 def stream_collect(fut):
     """Block on a dispatched stream MSM and Horner-combine on host."""
     import numpy as np
 
-    sctx, ws = fut
+    if fut[0] == "const":
+        return fut[1]
+    if fut[0] == "dev":
+        _, dm, act, ws = fut
+        return dm.horner_host(act, tuple(np.asarray(c) for c in ws))
+    _, sctx, ws = fut
     return sctx.horner_host(tuple(np.asarray(c) for c in ws))
 
 
