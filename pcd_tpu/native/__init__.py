@@ -82,6 +82,12 @@ def _load():
     lib.pcd_vec_op.restype = ctypes.c_int
     lib.pcd_vec_op.argtypes = [ctypes.c_long, ctypes.c_long, ctypes.c_int,
                                u64p, u64p, u64p]
+    lib.pcd_vec_axpy.restype = ctypes.c_int
+    lib.pcd_vec_axpy.argtypes = [ctypes.c_long, ctypes.c_long, u64p, u64p,
+                                 u64p]
+    lib.pcd_poly_div_linear.restype = ctypes.c_int
+    lib.pcd_poly_div_linear.argtypes = [ctypes.c_long, ctypes.c_long, u64p,
+                                        u64p, u64p, u64p]
     i64p = ctypes.POINTER(ctypes.c_long)
     lib.pcd_spmat_new.restype = ctypes.c_long
     lib.pcd_spmat_new.argtypes = [ctypes.c_long, ctypes.c_long, i64p, i64p,
@@ -614,3 +620,55 @@ def geom_scale(modulus: int, g: int, values) -> list:
     if rc != 0:
         raise RuntimeError("pcd_geom_scale failed")
     return limbs_to_ints(out)
+
+
+def vec_axpy(modulus: int, acc: np.ndarray, x, s: int) -> None:
+    """acc += s * x mod p, in place; acc is a canonical (n, NL) u64 limb
+    array, x a limb array or int list of the same length.  The KZG batch
+    opens' polynomial linear combinations run here instead of a
+    Python-bigint loop over SRS-length coefficient lists."""
+    lib = _load()
+    h = field_handle(modulus)
+    xl = x if isinstance(x, np.ndarray) else scalars_to_limbs(x)
+    n = xl.shape[0]
+    if acc.shape[0] < n:
+        raise ValueError("vec_axpy: acc shorter than x")
+    rc = lib.pcd_vec_axpy(h, n, _u64p(ints_to_limbs([s % modulus])),
+                          _u64p(np.ascontiguousarray(xl)), _u64p(acc))
+    if rc != 0:
+        raise RuntimeError("pcd_vec_axpy failed")
+
+
+def poly_div_linear(modulus: int, coeffs, z: int):
+    """Synthetic division of the polynomial with coefficient vector
+    `coeffs` by (X - z): returns (quotient limbs (n-1, NL), c(z) int).
+    Sequential C++ Horner (the KZG witness-polynomial scan)."""
+    lib = _load()
+    h = field_handle(modulus)
+    cl = coeffs if isinstance(coeffs, np.ndarray) \
+        else scalars_to_limbs([int(v) % modulus for v in coeffs])
+    n = cl.shape[0]
+    q = np.zeros((max(n - 1, 1), NL), dtype="<u8")
+    ev = np.zeros((1, NL), dtype="<u8")
+    rc = lib.pcd_poly_div_linear(h, n, _u64p(np.ascontiguousarray(cl)),
+                                 _u64p(ints_to_limbs([z % modulus])),
+                                 _u64p(q), _u64p(ev))
+    if rc != 0:
+        raise RuntimeError("pcd_poly_div_linear failed")
+    return q[: n - 1] if n > 1 else q[:0], limbs_to_ints(ev)[0]
+
+
+def poly_eval_mod(modulus: int, coeffs, z: int) -> int:
+    """c(z) mod p via the C++ Horner scan (no quotient materialized)."""
+    lib = _load()
+    h = field_handle(modulus)
+    cl = coeffs if isinstance(coeffs, np.ndarray) \
+        else scalars_to_limbs([int(v) % modulus for v in coeffs])
+    n = cl.shape[0]
+    ev = np.zeros((1, NL), dtype="<u8")
+    rc = lib.pcd_poly_div_linear(h, n, _u64p(np.ascontiguousarray(cl)),
+                                 _u64p(ints_to_limbs([z % modulus])),
+                                 None, _u64p(ev))
+    if rc != 0:
+        raise RuntimeError("pcd_poly_div_linear failed")
+    return limbs_to_ints(ev)[0]

@@ -1369,6 +1369,69 @@ extern "C" int pcd_vec_op(long field_h, long n, int op, const u64 *a,
     return 0;
 }
 
+// acc[i] += s * x[i] mod p over canonical (n, NL) limb arrays — the
+// poly linear-combination primitive of the KZG batch opens (a canonical
+// operand against a Montgomery scalar multiplies straight through:
+// mont_mul(x, s*R) = x*s).
+extern "C" int pcd_vec_axpy(long field_h, long n, const u64 *s,
+                            const u64 *x, u64 *acc) {
+    if (field_h < 0 || field_h >= (long)g_fields.size()) return -1;
+    const FieldCtx &C = *g_fields[field_h];
+    Fp sm;
+    std::memcpy(sm.v, s, NL * 8);
+    fp_to_mont(C, sm, sm);
+    auto run = [&](long i0, long i1) {
+        for (long i = i0; i < i1; i++) {
+            Fp xv, av, t;
+            std::memcpy(xv.v, x + i * NL, NL * 8);
+            std::memcpy(av.v, acc + i * NL, NL * 8);
+            fp_mont_mul(C, xv, sm, t);
+            fp_add(C, av, t, av);
+            std::memcpy(acc + i * NL, av.v, NL * 8);
+        }
+    };
+    int HW = hw_threads();
+    if (n >= 16384 && HW > 1) {
+        std::vector<std::thread> ts;
+        long chunk = (n + HW - 1) / HW;
+        for (int t = 0; t < HW; t++) {
+            long i0 = t * chunk, i1 = std::min(n, i0 + chunk);
+            if (i0 < i1) ts.emplace_back(run, i0, i1);
+        }
+        for (auto &t : ts) t.join();
+    } else {
+        run(0, n);
+    }
+    return 0;
+}
+
+// Synthetic division of sum c_i X^i (n coefficients, canonical limbs)
+// by (X - z): writes the n-1 quotient coefficients (may be null) and
+// the evaluation c(z) (the remainder).  Sequential Horner — the KZG
+// witness-polynomial scan that was a Python-bigint loop.
+extern "C" int pcd_poly_div_linear(long field_h, long n, const u64 *coeffs,
+                                   const u64 *z, u64 *q, u64 *eval) {
+    if (field_h < 0 || field_h >= (long)g_fields.size() || n <= 0)
+        return -1;
+    const FieldCtx &C = *g_fields[field_h];
+    Fp zm;
+    std::memcpy(zm.v, z, NL * 8);
+    fp_to_mont(C, zm, zm);
+    Fp acc, t, c;
+    std::memset(acc.v, 0, NL * 8);
+    for (long i = n - 1; i >= 1; i--) {
+        fp_mont_mul(C, acc, zm, t);
+        std::memcpy(c.v, coeffs + i * NL, NL * 8);
+        fp_add(C, t, c, acc);
+        if (q) std::memcpy(q + (i - 1) * NL, acc.v, NL * 8);
+    }
+    fp_mont_mul(C, acc, zm, t);
+    std::memcpy(c.v, coeffs, NL * 8);
+    fp_add(C, t, c, acc);
+    std::memcpy(eval, acc.v, NL * 8);
+    return 0;
+}
+
 // ------------------------------------------------------------ h-poly
 // Fused Groth16/GM17 quotient pipeline — ONE call covering what used to
 // be 7 pcd_ntt + 3 pcd_geom_scale + Python pointwise stages, each of

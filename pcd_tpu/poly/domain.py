@@ -230,6 +230,16 @@ def poly_mul(a, b, p):
 
 
 def poly_eval(a, x, p):
+    if len(a) >= 4096:
+        # sequential C++ Horner when the native tier is up (the Marlin
+        # prover evaluates ~20 domain-length polynomials per prove)
+        try:
+            from .. import native
+
+            if native.available() and p.bit_length() <= 320:
+                return native.poly_eval_mod(p, a, x)
+        except Exception:
+            pass
     acc = 0
     for c in reversed(a):
         acc = (acc * x + c) % p

@@ -26,6 +26,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from ...poly.domain import EvaluationDomain, batch_inverse, poly_eval
+from ...utils.profiling import span
 
 
 _DEVICE_FFT_THRESHOLD = 16384
@@ -294,7 +295,8 @@ class AHP:
         return out
 
     # -- prover ----------------------------------------------------------
-    def prover_round1(self, index: AHPIndex, cs_rows, z, rng=None):
+    def prover_round1(self, index: AHPIndex, cs_rows, z, rng=None,
+                      evs=None):
         """Returns dict of polynomials: zhat_A/B/C, what, h_0, s_mask.
 
         Zero-knowledge (role of ark-marlin's zk mode, reference
@@ -313,15 +315,22 @@ class AHP:
         H = self.domain(index.n)
         n = index.n
         zvals = [int(v) % p for v in z]
-        evs = {}
-        for mi, name in enumerate("ABC"):
-            mz = [0] * index.n
-            for r, row in enumerate(cs_rows):
-                mz[r] = sum(co * zvals[c] for c, co in row[mi].items()) % p
-            evs[name] = mz
-        zh = {name: fft_any(self.F, evs[name], H.n, "ifft")
-              for name in "ABC"}
-        xhat, what = self.z_poly_parts(index, z)
+        if evs is None:
+            # Az/Bz/Cz on H (callers with the native CSR tier pass these
+            # in — marlin/native.prove computes them once for the
+            # satisfiability check and reuses them here)
+            evs = {}
+            for mi, name in enumerate("ABC"):
+                mz = [0] * index.n
+                for r, row in enumerate(cs_rows):
+                    mz[r] = sum(co * zvals[c]
+                                for c, co in row[mi].items()) % p
+                evs[name] = mz
+        with span("r1/ifft_mz"):
+            zh = {name: fft_any(self.F, evs[name], H.n, "ifft")
+                  for name in "ABC"}
+        with span("r1/z_parts"):
+            xhat, what = self.z_poly_parts(index, z)
 
         def rand():
             return rng.randrange(p) if rng is not None else 0
@@ -352,9 +361,12 @@ class AHP:
         s_mask = [rand() for _ in range(n + 2)]
         s_mask[0] = (p - s_mask[n]) % p
         # rowcheck from the MASKED polynomials
-        prod = poly_mul_fft(self.F, zh["A"], zh["B"])
-        num = poly_add(prod, poly_scale(zh["C"], p - 1, p), p)
-        h0, rem = divide_by_vanishing(num, index.n, p)
+        with span("r1/mul_ab"):
+            prod = poly_mul_fft(self.F, zh["A"], zh["B"])
+        with span("r1/sub_c"):
+            num = poly_add(prod, poly_scale(zh["C"], p - 1, p), p)
+        with span("r1/div_vanish"):
+            h0, rem = divide_by_vanishing(num, index.n, p)
         assert all(c == 0 for c in rem), "rowcheck failed (unsatisfied R1CS)"
         return dict(zhat_A=zh["A"], zhat_B=zh["B"], zhat_C=zh["C"],
                     what=what, h_0=h0, s_mask=s_mask, _xhat=xhat)
@@ -365,10 +377,13 @@ class AHP:
         n = index.n
         # t = sum eta_M zhat_M
         t = [0]
-        for name in "ABC":
-            t = poly_add(t, poly_scale(polys[f"zhat_{name}"], etas[name], p), p)
+        with span("r2/t"):
+            for name in "ABC":
+                t = poly_add(t, poly_scale(polys[f"zhat_{name}"],
+                                           etas[name], p), p)
         uh = self.u_H_poly(alpha, n)
-        q1 = poly_mul_fft(self.F, uh, t)
+        with span("r2/mul_uh_t"):
+            q1 = poly_mul_fft(self.F, uh, t)
         q1 = poly_add(q1, polys.get("s_mask", []), p)
         # r(alpha, X) = sum_M eta_M sum_k u_H(alpha,row_k) val_k L_{col_k}(X)
         # evaluate r(alpha, .) on H directly from sparse entries
@@ -379,8 +394,9 @@ class AHP:
         # u_H(alpha, y) for y in H = v_H(alpha)/(n... careful:
         # u_H(alpha,y) = v_H(alpha)/(alpha - y) since v_H(y)=0... times?
         # (v_H(alpha) - 0)/(alpha - y)
-        dens = [(alpha - y) % p for y in Hel]
-        inv_dens = batch_inverse(dens, p)
+        with span("r2/u_alpha_inv"):
+            dens = [(alpha - y) % p for y in Hel]
+            inv_dens = batch_inverse(dens, p)
         u_alpha = [va * iv % p for iv in inv_dens]
         el_index = {y: i for i, y in enumerate(Hel)}
         for name in "ABC":
@@ -392,15 +408,19 @@ class AHP:
         zhat_evals = None
         # q1 -= r(alpha,X) * zhat(X): compute r*zhat in evaluation form on a
         # larger domain
-        r_coeffs = fft_any(self.F, r_evals, H.n, "ifft")
+        with span("r2/ifft_r"):
+            r_coeffs = fft_any(self.F, r_evals, H.n, "ifft")
         zhat = poly_add(polys["_xhat"],
                         poly_mul_fft(self.F,
                                      [p - 1] + [0] * (index.input_size - 1) + [1],
                                      polys["what"]), p)
-        rz = poly_mul_fft(self.F, r_coeffs, zhat)
-        q1 = poly_add(q1, poly_scale(rz, p - 1, p), p)
+        with span("r2/mul_rz"):
+            rz = poly_mul_fft(self.F, r_coeffs, zhat)
+        with span("r2/sub_rz"):
+            q1 = poly_add(q1, poly_scale(rz, p - 1, p), p)
         # sumcheck decomposition: q1 = h_1 v_H + X g_1 (+ sigma/n, sigma=0)
-        h1, rem = divide_by_vanishing(q1, n, p)
+        with span("r2/div_vanish"):
+            h1, rem = divide_by_vanishing(q1, n, p)
         assert rem[0] == 0, "lincheck sum not zero"
         g1 = rem[1:]
         return g1, h1, zhat
@@ -426,28 +446,35 @@ class AHP:
         kinv = pow(K.n, -1, p)
         for name in "ABC":
             m = index.mats[name]
-            b_ev = [(alpha - m.row_evals[i]) * (beta1 - m.col_evals[i]) % p
-                    for i in range(K.n)]
-            a_ev = [etas[name] * va % p * vb % p * m.val_evals[i] % p
-                    for i in range(K.n)]
-            binv = batch_inverse(b_ev, p)
-            f = [a_ev[i] * binv[i] % p for i in range(K.n)]
+            with span("r3/ab_ev"):
+                b_ev = [(alpha - m.row_evals[i]) * (beta1 - m.col_evals[i])
+                        % p for i in range(K.n)]
+                a_ev = [etas[name] * va % p * vb % p * m.val_evals[i] % p
+                        for i in range(K.n)]
+            with span("r3/binv"):
+                binv = batch_inverse(b_ev, p)
+                f = [a_ev[i] * binv[i] % p for i in range(K.n)]
             sigma_m = sum(f) % p
-            f_coeffs = fft_any(self.F, f, K.n, "ifft")
+            with span("r3/ifft_f"):
+                f_coeffs = fft_any(self.F, f, K.n, "ifft")
             assert f_coeffs[0] == sigma_m * kinv % p
             g_m = f_coeffs[1:]
             # h_M: a_M - b_M (X g_M + sigma_M/|K|) = h_M v_K  (product form)
             a_poly = poly_scale(m.val, etas[name] * va % p * vb % p, p)
             neg_row = poly_scale(m.row, p - 1, p)
             neg_col = poly_scale(m.col, p - 1, p)
-            b_poly = poly_mul_fft(self.F, poly_add([alpha % p], neg_row, p),
-                                  poly_add([beta1 % p], neg_col, p))
+            with span("r3/mul_b"):
+                b_poly = poly_mul_fft(self.F,
+                                      poly_add([alpha % p], neg_row, p),
+                                      poly_add([beta1 % p], neg_col, p))
             xg = [0] + list(g_m)
             xg[0] = (xg[0] + sigma_m * kinv) % p
-            num = poly_add(a_poly,
-                           poly_scale(poly_mul_fft(self.F, b_poly, xg),
-                                      p - 1, p), p)
-            h_m, rem = divide_by_vanishing(num, K.n, p)
+            with span("r3/mul_bxg"):
+                num = poly_add(a_poly,
+                               poly_scale(poly_mul_fft(self.F, b_poly, xg),
+                                          p - 1, p), p)
+            with span("r3/div_vanish"):
+                h_m, rem = divide_by_vanishing(num, K.n, p)
             assert all(c == 0 for c in rem), "matrix sumcheck division failed"
             out[name] = (sigma_m, g_m, h_m)
             sigma3 = (sigma3 + sigma_m) % p

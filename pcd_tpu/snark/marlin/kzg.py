@@ -87,8 +87,30 @@ class KZG10:
 
     # -- open ------------------------------------------------------------
     def open(self, srs: KZGSRS, coeffs, z: int):
-        """Returns (value, witness commitment pi)."""
+        """Returns (value, witness commitment pi).  coeffs: int list or a
+        canonical (n, NL) u64 limb array (the batch path's combined
+        polynomial stays in limb form end-to-end)."""
+        import numpy as np
+
         p = self.Fr.MODULUS
+        n = coeffs.shape[0] if isinstance(coeffs, np.ndarray) \
+            else len(coeffs)
+        try:
+            from ...native import available, poly_div_linear
+        except Exception:
+            available = lambda: False
+        if n >= 4096 and available():
+            # C++ Horner scan: the synthetic division was a sequential
+            # Python-bigint loop over SRS-length lists (Marlin's opens
+            # walk the full max_degree when degree-bound shadows shift)
+            q, y = poly_div_linear(p, coeffs, z)
+            pi = msm_any(subrange(host_query(srs, "powers_g1"), 0,
+                                  q.shape[0]), q, self.Fr.BITS)
+            return y, pi
+        if isinstance(coeffs, np.ndarray):
+            from ...native import limbs_to_ints
+
+            coeffs = limbs_to_ints(coeffs)
         y = poly_eval(coeffs, z, p)
         # synthetic division by (X - z)
         q = [0] * max(len(coeffs) - 1, 1)
@@ -102,17 +124,48 @@ class KZG10:
 
     def open_batch(self, srs: KZGSRS, polys, z: int, xi: int):
         """Single witness for several polys at one point, combined with
-        powers of challenge xi.  Returns (values list, pi)."""
+        powers of challenge xi.  Each entry is a coefficient list OR a
+        (shift, coeffs) pair meaning X^shift * coeffs — degree-bound
+        shadows pass the shift symbolically so no SRS-length Python list
+        is ever materialized.  Returns (values list, pi)."""
         p = self.Fr.MODULUS
+
+        def parts(entry):
+            return entry if isinstance(entry, tuple) else (0, entry)
+
+        maxlen = max((parts(e)[0] + len(parts(e)[1]) for e in polys),
+                     default=1)
+        try:
+            from ... import native
+        except Exception:
+            native = None
+        if native is not None and native.available() and maxlen >= 4096:
+            import numpy as np
+
+            acc = np.zeros((maxlen, native.NL), dtype="<u8")
+            cur = 1
+            for entry in polys:
+                shift, coeffs = parts(entry)
+                if len(coeffs):
+                    native.vec_axpy(p, acc[shift:shift + len(coeffs)],
+                                    coeffs, cur)
+                cur = cur * xi % p
+            values = [poly_eval(list(parts(e)[1]), z, p)
+                      * pow(z, parts(e)[0], p) % p for e in polys]
+            _, pi = self.open(srs, acc, z)
+            return values, pi
         combined = []
         cur = 1
-        for coeffs in polys:
+        for entry in polys:
+            shift, coeffs = parts(entry)
             for i, c in enumerate(coeffs):
-                if i >= len(combined):
-                    combined.extend([0] * (i + 1 - len(combined)))
-                combined[i] = (combined[i] + cur * c) % p
+                j = i + shift
+                if j >= len(combined):
+                    combined.extend([0] * (j + 1 - len(combined)))
+                combined[j] = (combined[j] + cur * c) % p
             cur = cur * xi % p
-        values = [poly_eval(c, z, p) for c in polys]
+        values = [poly_eval(list(parts(e)[1]), z, p)
+                  * pow(z, parts(e)[0], p) % p for e in polys]
         _, pi = self.open(srs, combined, z)
         return values, pi
 

@@ -23,6 +23,7 @@ from ..api import NeedLargerBound, SNARKError
 from .ahp import AHP, poly_eval
 from .kzg import KZG10, KZGCommitment
 from .poseidon import PoseidonSponge
+from ...utils.profiling import span
 
 
 @dataclass
@@ -180,8 +181,9 @@ class MarlinSNARK:
     def prove(self, pk: MarlinIndexPK, circuit, rng):
         from ..plan import plan_for
 
-        z, cs, plan = plan_for(pk, lambda: ConstraintSystem(self.Fr),
-                               circuit)
+        with span("marlin/witness"):
+            z, cs, plan = plan_for(pk, lambda: ConstraintSystem(self.Fr),
+                                   circuit)
         p = self.Fr.MODULUS
         idx = pk.index
         if len(z) != idx.num_vars:
@@ -195,13 +197,49 @@ class MarlinSNARK:
                 plan.rows = rows
         else:
             rows = plan.rows
-            for j, (ra, rb, rc) in enumerate(rows):
-                if (sum(co * z[col] for col, co in ra.items())
-                        * sum(co * z[col] for col, co in rb.items())
-                        - sum(co * z[col] for col, co in rc.items())) % p:
+        srs = pk.srs
+        # Az/Bz/Cz once via the C++ CSR tier: feeds BOTH the replayed-
+        # witness satisfiability check (was a Python triple-sum loop over
+        # every nonzero) and round 1's matrix evaluations.
+        evs1 = None
+        with span("marlin/sat_check"):
+            nat = None
+            try:
+                from ... import native as nat
+
+                if not nat.available() or len(rows) < 2048:
+                    nat = None
+            except Exception:
+                nat = None
+            if nat is not None:
+                import numpy as np
+
+                mv = getattr(pk, "_csr_cache", None)
+                if mv is None:
+                    mv = nat.SpMatrices(p, rows)
+                    try:
+                        pk._csr_cache = mv
+                    except Exception:
+                        pass
+                zl = nat.scalars_to_limbs([int(v) % p for v in z])
+                azl, bzl, czl = mv.apply_all_limbs(zl)
+                bad = nat.vec_op(p, "sub", nat.vec_op(p, "mul", azl, bzl),
+                                 czl)
+                if np.any(bad):
+                    j = int(np.nonzero(bad.any(axis=1))[0][0])
                     raise SNARKError(
                         f"unsatisfied constraint #{j} (replayed)")
-        srs = pk.srs
+                pad = idx.n - len(rows)
+                evs1 = {nm: nat.limbs_to_ints(v) + [0] * pad
+                        for nm, v in zip("ABC", (azl, bzl, czl))}
+            elif cs is None:
+                for j, (ra, rb, rc) in enumerate(rows):
+                    if (sum(co * z[col] for col, co in ra.items())
+                            * sum(co * z[col] for col, co in rb.items())
+                            - sum(co * z[col]
+                                  for col, co in rc.items())) % p:
+                        raise SNARKError(
+                            f"unsatisfied constraint #{j} (replayed)")
 
         sp = self._sponge()
         for key in sorted(pk.vk.index_comms):
@@ -209,8 +247,11 @@ class MarlinSNARK:
         self._absorb_fr(sp, [v for v in z[: idx.num_instance]])
 
         # round 1 (zk: rng drives the masking polynomials)
-        polys = self.ahp.prover_round1(idx, rows, z, rng)
-        comms1 = {nm: self.kzg.commit(srs, polys[nm]) for nm in _R1_COMMS}
+        with span("marlin/round1"):
+            polys = self.ahp.prover_round1(idx, rows, z, rng, evs=evs1)
+        with span("marlin/commit1"):
+            comms1 = {nm: self.kzg.commit(srs, polys[nm])
+                      for nm in _R1_COMMS}
         for nm in sorted(comms1):
             self._absorb_comm(sp, comms1[nm])
         alpha = self._challenge(sp)
@@ -218,21 +259,26 @@ class MarlinSNARK:
                 "C": self._challenge(sp)}
 
         # round 2
-        g1, h1, zhat = self.ahp.prover_round2(idx, polys, alpha, etas)
-        comms2 = {"g_1": self.kzg.commit(srs, g1, degree_bound=idx.n - 2),
-                  "h_1": self.kzg.commit(srs, h1)}
+        with span("marlin/round2"):
+            g1, h1, zhat = self.ahp.prover_round2(idx, polys, alpha, etas)
+        with span("marlin/commit2"):
+            comms2 = {"g_1": self.kzg.commit(srs, g1,
+                                             degree_bound=idx.n - 2),
+                      "h_1": self.kzg.commit(srs, h1)}
         for nm in sorted(comms2):
             self._absorb_comm(sp, comms2[nm])
         beta1 = self._challenge(sp)
 
         # round 3 (per-matrix sumchecks)
-        sigma3, r3 = self.ahp.prover_round3(idx, alpha, beta1, etas)
-        comms3 = {}
-        for name in "ABC":
-            _, g_m, h_m = r3[name]
-            comms3[f"g_3{name}"] = self.kzg.commit(
-                srs, g_m, degree_bound=idx.k_size - 2)
-            comms3[f"h_3{name}"] = self.kzg.commit(srs, h_m)
+        with span("marlin/round3"):
+            sigma3, r3 = self.ahp.prover_round3(idx, alpha, beta1, etas)
+        with span("marlin/commit3"):
+            comms3 = {}
+            for name in "ABC":
+                _, g_m, h_m = r3[name]
+                comms3[f"g_3{name}"] = self.kzg.commit(
+                    srs, g_m, degree_bound=idx.k_size - 2)
+                comms3[f"h_3{name}"] = self.kzg.commit(srs, h_m)
         self._absorb_fr(sp, [r3[name][0] for name in "ABC"])
         for nm in sorted(comms3):
             self._absorb_comm(sp, comms3[nm])
@@ -253,25 +299,29 @@ class MarlinSNARK:
             poly_map3[f"h_3{name}"] = r3[name][2]
 
         evals = {}
-        for nm in _B1_POLYS:
-            evals[nm] = poly_eval(poly_map1[nm], beta1, p)
-        for nm in _B3_POLYS:
-            evals[nm] = poly_eval(poly_map3[nm], beta3, p)
+        with span("marlin/evals"):
+            for nm in _B1_POLYS:
+                evals[nm] = poly_eval(poly_map1[nm], beta1, p)
+            for nm in _B3_POLYS:
+                evals[nm] = poly_eval(poly_map3[nm], beta3, p)
         for name in "ABC":
             evals[f"sigma_{name}"] = r3[name][0]
         self._absorb_fr(sp, [evals[nm] for nm in _B1_POLYS + _B3_POLYS])
         xi = self._challenge(sp)
 
-        # batch opening at beta_1 (includes the shifted g_1 shadow)
+        # batch opening at beta_1 (includes the shifted g_1 shadow —
+        # passed as a symbolic (shift, coeffs) pair so no SRS-length
+        # list is materialized)
         d = srs.max_degree
         shift1 = d - (idx.n - 2)
-        polys1 = [poly_map1[nm] for nm in _B1_POLYS] \
-            + [[0] * shift1 + list(g1)]
-        _, pi1 = self.kzg.open_batch(srs, polys1, beta1, xi)
+        polys1 = [poly_map1[nm] for nm in _B1_POLYS] + [(shift1, list(g1))]
+        with span("marlin/open1"):
+            _, pi1 = self.kzg.open_batch(srs, polys1, beta1, xi)
         shift3 = d - (idx.k_size - 2)
         polys3 = [poly_map3[nm] for nm in _B3_POLYS] + [
-            [0] * shift3 + list(r3[name][1]) for name in "ABC"]
-        _, pi3 = self.kzg.open_batch(srs, polys3, beta3, xi)
+            (shift3, list(r3[name][1])) for name in "ABC"]
+        with span("marlin/open3"):
+            _, pi3 = self.kzg.open_batch(srs, polys3, beta3, xi)
 
         return MarlinProof(comms1=comms1, comms2=comms2, comms3=comms3,
                            sigma3=sigma3, evals=evals, pi1=pi1, pi3=pi3)
