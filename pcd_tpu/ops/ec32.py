@@ -197,6 +197,15 @@ def _rcb_maddT_ns(fp: Fp32Ctx, spec: _MaddSpec, carr, fld, P, Q, act_row):
     X3o = sub4(mul(t3, X3), mul(t5, t4n))
     Z3o = add(mul(t5, Z3), mul(t3, t1n))
     act = act_row > 0
+    if fp.kp > fp.k:
+        # infinity flag: table builders mark points at infinity with a 1
+        # in X2's pad limb (ops/msm_stream._doubled_u8), which lets the
+        # device-scheduled pipeline place them like any point and have
+        # the kernel skip the add — no per-table digit masking needed.
+        # The flag limb feeds the muls above, but only for rows whose
+        # result is discarded right here, and a 1-limb keeps every
+        # f32-exactness bound.
+        act = act & (X2[fp.kp - 1 : fp.kp, :] < 0.5)
     return (jnp.where(act, X3o, X1), jnp.where(act, Y3, Y1),
             jnp.where(act, Z3o, Z1))
 
@@ -1387,6 +1396,9 @@ def _rcb_madd_extT(ops: _ExtOpsT, spec: _MaddSpecExt, carr, P, Q,
     X3o = sub(mul(t3, X3), mul(t5, t4n))
     Z3o = add(mul(t5, Z3), mul(t3, t1n))
     act = act_row > 0
+    if fp.kp > fp.k:
+        # infinity flag in component 0's pad limb (see _rcb_maddT_ns)
+        act = act & (X2[0][fp.kp - 1 : fp.kp, :] < 0.5)
 
     def sel(nw, old):
         return tuple(jnp.where(act, a, b) for a, b in zip(nw, old))

@@ -420,6 +420,15 @@ class StreamMSMCtx:
             Xu8 = np.where(keep, Xu8, 0)
             Yu8 = np.where(keep, Yu8, 0)
             Ynu8 = np.where(keep, Ynu8, 0)
+            fp = self.ec.fp
+            if fp.kp > fp.k:
+                # infinity FLAG in component 0's pad limb: the madd
+                # kernels skip flagged rows (ec32._rcb_maddT_ns), so the
+                # device-scheduled pipeline needs no per-table digit
+                # masking and scalar uploads/sorts can be shared across
+                # query tables with different infinity sets.
+                Xu8 = Xu8.copy()
+                Xu8[fin, fp.kp - 1] = 1
         out[:n, :W] = Xu8
         out[:n, W:] = Yu8
         out[m : m + n, :W] = Xu8

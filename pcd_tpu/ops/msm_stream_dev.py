@@ -120,34 +120,43 @@ class DevSchedMSM:
         self._p1_cache[nwords] = p1
         return p1
 
-    # -- host: per-window shape selection from the fetched histogram ------
+    # -- host: shape selection from the fetched histogram -----------------
     def _pick_shapes(self, counts: np.ndarray):
-        """counts (nwin, B+1) -> (T_w int array with 0 for empty windows,
-        maxrun pow2).  T_w quantized to multiples of 8 (jit cache keys)."""
+        """counts (nwin, B+1) -> (active window list, shared round count
+        T, maxrun pow2).  ONE T for every active window (the max of the
+        per-window fits, quantized to a multiple of 8): a per-window T
+        would make the compiled-program key witness-dependent — the
+        round profile of a prover's scalar vector shifts between proves
+        and every shift would recompile the fused program.  Empty
+        windows still cost nothing (they are dropped from the scan)."""
         s = self.sctx
-        Tw = np.zeros(s.nwin, dtype=np.int64)
+        act = []
+        T = 8
         mr = 1
         for w in range(s.nwin):
             cnz = counts[w, 1:]
             m = int(cnz.sum())
             if m == 0:
                 continue
-            t = -(-s._fit_T(cnz, m) // 8) * 8
-            Tw[w] = t
-            mr = max(mr, int((-(-cnz // t)).max()))
+            act.append(w)
+            T = max(T, -(-s._fit_T(cnz, m) // 8) * 8)
+        for w in act:
+            mr = max(mr, int((-(-counts[w, 1:] // T)).max()))
         maxrun = 1
         while maxrun < mr:
             maxrun *= 2
-        return Tw, maxrun
+        return act, T, maxrun
 
-    # -- P2: ONE fused program — metadata + every window's gather/madd +
-    # -- the two-phase finish.  Per-dispatch RPC through the tunneled
-    # -- device costs ~20 ms; the v3.1 per-window dispatch model spent
-    # -- more wall time dispatching than computing (the jitted madd
-    # -- kernel itself is ~7 ms/window), so the whole accumulation is one
-    # -- jit keyed on the quantized per-window round profile.
-    def _p2(self, profile: tuple, maxrun: int, n: int, m2: int):
-        key = (profile, maxrun, n, m2)
+    # -- P2: ONE fused program — metadata + every active window's
+    # -- gather/madd (a lax.scan with one shared round count) + the
+    # -- two-phase finish.  One fused dispatch, because per-dispatch RPC
+    # -- through the tunneled device costs ~20 ms — more than the ~7 ms
+    # -- madd kernel it would launch; a scan body, because an unrolled
+    # -- per-window trace took minutes of XLA compile per program.  The
+    # -- cache key (nact, T, maxrun, n, m2) is coarse enough to stay
+    # -- stable across a prover's witness vectors.
+    def _p2(self, nact: int, T: int, maxrun: int, n: int, m2: int):
+        key = (nact, T, maxrun, n, m2)
         hit = self._p2_cache.get(key)
         if hit is not None:
             return hit
@@ -156,15 +165,12 @@ class DevSchedMSM:
         kw = ec.kw
         L, B, nwin = s.L, s.B, s.nwin
         n2 = m2 // 2
-        act = [w for w in range(nwin) if profile[w] > 0]
-        nact = len(act)
+        tc = max(4, min(T, s.CHUNK_BYTES // (2 * L * 2 * kw * 4)))
 
         @jax.jit
-        def p2(XY, order, signs, counts):
+        def p2(XY, order, signs, counts, aidx):
             cnz = counts[:, 1:]                          # (nwin, B) int32
-            Tw = jnp.asarray(np.asarray(profile, np.int32))
-            Tw1 = jnp.maximum(Tw, 1)[:, None]
-            lanes_b = (cnz + Tw1 - 1) // Tw1
+            lanes_b = (cnz + (T - 1)) // T
             starts = jnp.concatenate(
                 [jnp.zeros((nwin, 1), jnp.int32),
                  jnp.cumsum(lanes_b[:, :-1], axis=1)], axis=1)
@@ -188,35 +194,41 @@ class DevSchedMSM:
             runrem = jnp.where(valid_l,
                                st_l + take(lanes_b) - lane[None, :], 0)
             bidx_rel = jnp.where(cnz > 0, starts, jnp.int32(nact * L))
-            accs = []
-            for w in act:
-                T = profile[w]
-                tc = max(4, min(T, s.CHUNK_BYTES // (2 * L * 2 * kw * 4)))
-                iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
-                k = (of_l[w][None, :] + iota_t * lb_l[w][None, :]
-                     + j_l[w][None, :])
+            # active-window rows only; the window loop is UNROLLED (all
+            # windows share one static T) so XLA's scheduler overlaps
+            # window i+1's table gather with window i's madd rounds — a
+            # lax.scan body cannot double-buffer across iterations and
+            # measured ~15% slower end-to-end
+            ga = lambda M: jnp.take(M, aidx, axis=0)
+            A = (ga(order), ga(signs), ga(of_l), ga(lb_l), ga(j_l),
+                 ga(loads))
+            iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+            accs_l = []
+            for i in range(nact):
+                order_w, signs_w, of_w, lb_w, j_w, ld_w = \
+                    (a[i] for a in A)
+                k = of_w[None, :] + iota_t * lb_w[None, :] + j_w[None, :]
                 k = jnp.clip(k, 0, n - 1)                # (T, L)
                 acc = None
                 for t0 in range(0, T, tc):
                     t1 = min(T, t0 + tc)
-                    pidx = jnp.take(order[w], k[t0:t1].reshape(-1))
-                    sgn = jnp.take(signs[w], pidx)
+                    pidx = jnp.take(order_w, k[t0:t1].reshape(-1))
+                    sgn = jnp.take(signs_w, pidx)
                     tix = pidx + sgn * n2
                     G = jnp.take(XY, tix, axis=0)
                     Gt = jnp.transpose(
                         G.reshape(t1 - t0, L, 2 * kw),
                         (0, 2, 1)).astype(jnp.float32)
-                    lw = jnp.clip(loads[w] - t0, 0, t1 - t0)
+                    lw = jnp.clip(ld_w - t0, 0, t1 - t0)
                     acc = ec.madd_accumulate(Gt, lw, init=acc)
-                accs.append(acc)
-            stacked = tuple(jnp.stack([a[i] for a in accs])
-                            for i in range(3))
-            aidx = jnp.asarray(np.asarray(act, np.int32))
-            bidx_act = jnp.take(bidx_rel, aidx, axis=0) \
+                accs_l.append(acc)
+            accs = tuple(jnp.stack([a[i] for a in accs_l])
+                         for i in range(3))
+            bidx_act = ga(bidx_rel) \
                 + (jnp.arange(nact, dtype=jnp.int32) * L)[:, None]
             bidx_act = jnp.minimum(bidx_act, nact * L)
-            run_act = jnp.take(runrem, aidx, axis=0)
-            return s._finish_dev(stacked, bidx_act.reshape(-1),
+            run_act = ga(runrem)
+            return s._finish_dev(accs, bidx_act.reshape(-1),
                                  run_act.reshape(-1), maxrun)
 
         self._p2_cache[key] = p2
@@ -229,17 +241,15 @@ class DevSchedMSM:
         windows).  One small histogram fetch sits between P1 and P2 (it
         selects the static round profile); everything else is two async
         dispatches."""
-        s = self.sctx
         n, nwords = limbs32_dev.shape
         order, signs, counts = self._p1(nwords)(limbs32_dev, inf_dev)
         counts_h = np.asarray(counts)
-        Tw, maxrun = self._pick_shapes(counts_h)
-        act = [w for w in range(s.nwin) if Tw[w] > 0]
+        act, T, maxrun = self._pick_shapes(counts_h)
         if not act:
             return [], None
-        p2 = self._p2(tuple(int(t) for t in Tw), maxrun, n,
-                      int(XY.shape[0]))
-        return act, p2(XY, order, signs, counts)
+        p2 = self._p2(len(act), T, maxrun, n, int(XY.shape[0]))
+        aidx = jnp.asarray(np.asarray(act, dtype=np.int32))
+        return act, p2(XY, order, signs, counts, aidx)
 
     def horner_host(self, act, wsn) -> object:
         """Horner tail over the active-window sums (empty windows are
@@ -256,12 +266,20 @@ class DevSchedMSM:
                     tuple(c[i: i + 1] for c in wsn))
         return acc
 
+    def inf_flagged(self) -> bool:
+        """True when the table carries the in-row infinity flag
+        (component-0 pad limb; ops/msm_stream._doubled_u8) so the madd
+        kernel skips infinite rows itself and P1 needs no digit mask."""
+        fp = self.sctx.ec.fp
+        return fp.kp > fp.k
+
     def msm_limbs(self, XY, limbs: np.ndarray, inf=None):
         """Host (n, NL) u64 limb rows -> host point (uploads the limbs,
         schedules + accumulates on device, Horner tail on host)."""
         W = jax.device_put(self.limbs_u32(limbs))
         inf_dev = None
-        if inf is not None and np.asarray(inf).any():
+        if inf is not None and np.asarray(inf).any() \
+                and not self.inf_flagged():
             inf_dev = jax.device_put(np.asarray(inf, dtype=bool))
         act, ws = self.window_sums(XY, W, inf_dev)
         if not act:

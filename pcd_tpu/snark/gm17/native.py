@@ -179,9 +179,13 @@ class GM17:
 
     # -- setup ----------------------------------------------------------
     def circuit_specific_setup(self, circuit, rng):
-        cs = self._synthesize(circuit)
+        from ...utils.profiling import span
+
+        with span("gm17_setup/synthesize"):
+            cs = self._synthesize(circuit)
         p = self.Fr.MODULUS
-        rows, num_sap_vars = self._sap_rows(cs)
+        with span("gm17_setup/sap_rows"):
+            rows, num_sap_vars = self._sap_rows(cs)
         n_inst = cs.num_instance
         domain = EvaluationDomain.new(self.Fr, len(rows))
 
@@ -190,17 +194,19 @@ class GM17:
         gamma = rng.randrange(1, p)
         delta = rng.randrange(1, p)
 
-        lag = domain.lagrange_coeffs_at(s)
-        a_of = [0] * num_sap_vars
-        c_of = [0] * num_sap_vars
-        for j, (ra, rc) in enumerate(rows):
-            lj = lag[j]
-            if lj == 0:
-                continue
-            for col, co in ra.items():
-                a_of[col] = (a_of[col] + co * lj) % p
-            for col, co in rc.items():
-                c_of[col] = (c_of[col] + co * lj) % p
+        with span("gm17_setup/lagrange"):
+            lag = domain.lagrange_coeffs_at(s)
+        with span("gm17_setup/columns"):
+            a_of = [0] * num_sap_vars
+            c_of = [0] * num_sap_vars
+            for j, (ra, rc) in enumerate(rows):
+                lj = lag[j]
+                if lj == 0:
+                    continue
+                for col, co in ra.items():
+                    a_of[col] = (a_of[col] + co * lj) % p
+                for col, co in rc.items():
+                    c_of[col] = (c_of[col] + co * lj) % p
 
         zt = domain.vanishing_poly_at(s)
         gamma_inv = pow(gamma, -1, p)
@@ -215,20 +221,25 @@ class GM17:
             h_scalars.append(cur)
             cur = cur * s % p
 
-        query = fb_mul(self.cfg, "g1",
-                       [(2 * alpha * a_of[i] + c_of[i]) % p * gamma_inv % p
-                        for i in range(n_inst)], self.Fr.BITS,
-                       as_host=True, force_host=True)
-        c_query = fb_mul(self.cfg, "g1",
-                         [(2 * alpha * a_of[i] + c_of[i]) % p * delta_inv % p
-                          for i in range(n_inst, num_sap_vars)],
-                         self.Fr.BITS, force_host=force_host)
-        a_query = fb_mul(self.cfg, "g1", a_of, self.Fr.BITS,
-                         force_host=force_host)
-        b_query = fb_mul(self.cfg, "g2", a_of, self.Fr.BITS,
-                         force_host=force_host)
-        h_query = fb_mul(self.cfg, "g1", h_scalars, self.Fr.BITS,
-                         force_host=force_host)
+        with span("gm17_setup/fb_g1"):
+            query = fb_mul(self.cfg, "g1",
+                           [(2 * alpha * a_of[i] + c_of[i]) % p
+                            * gamma_inv % p
+                            for i in range(n_inst)], self.Fr.BITS,
+                           as_host=True, force_host=True)
+            c_query = fb_mul(self.cfg, "g1",
+                             [(2 * alpha * a_of[i] + c_of[i]) % p
+                              * delta_inv % p
+                              for i in range(n_inst, num_sap_vars)],
+                             self.Fr.BITS, force_host=force_host)
+            a_query = fb_mul(self.cfg, "g1", a_of, self.Fr.BITS,
+                             force_host=force_host)
+        with span("gm17_setup/fb_g2"):
+            b_query = fb_mul(self.cfg, "g2", a_of, self.Fr.BITS,
+                             force_host=force_host)
+        with span("gm17_setup/fb_h"):
+            h_query = fb_mul(self.cfg, "g1", h_scalars, self.Fr.BITS,
+                             force_host=force_host)
         small1 = fb_mul(self.cfg, "g1", [alpha, gamma, delta], self.Fr.BITS,
                         as_host=True, force_host=True)
         small2 = fb_mul(self.cfg, "g2", [alpha, gamma, delta], self.Fr.BITS,

@@ -193,13 +193,19 @@ def stream_table(pk, nm: str, curve, scalar_bits: int):
 
 
 def devsched_enabled() -> bool:
-    """Device-side scheduling (ops/msm_stream_dev.py) is the default
-    stream variant: only the scalar limbs cross the wire (~40 B/point vs
-    ~94 B/point of packed schedule) and the counting placement runs on
-    the chip.  PCD_TPU_DEVSCHED=0 falls back to the host scheduler."""
+    """Device-side scheduling (ops/msm_stream_dev.py): only the scalar
+    limbs cross the wire (~40 B/point vs ~94 B/point of packed schedule)
+    and the counting placement runs on the chip — measured 1.5x the
+    host-scheduled stream rate SUSTAINED (bench.py tiers).  Default OFF
+    in the prover: its fused accumulate program costs minutes of XLA
+    compile per (table, shape) key on this box (compiles run server-side
+    over the tunnel, so the persistent client cache cannot amortize
+    them), which exceeds a whole 3-step IVC chain; long-running chain or
+    repeated-MSM deployments amortize it and should set
+    PCD_TPU_DEVSCHED=1.  bench.py measures the devsched tier directly."""
     import os
 
-    return os.environ.get("PCD_TPU_DEVSCHED", "1") != "0"
+    return os.environ.get("PCD_TPU_DEVSCHED", "0") == "1"
 
 
 def stream_msm_async(pk, nm: str, curve, scalar_bits: int, scal_limbs):
@@ -226,7 +232,9 @@ def stream_msm_async(pk, nm: str, curve, scalar_bits: int, scal_limbs):
         dm = devsched_ctx(curve, scalar_bits, sctx.c, sctx.L)
         W = jax.device_put(dm.limbs_u32(sl))
         inf_dev = None
-        if np.asarray(inf).any():
+        if np.asarray(inf).any() and not dm.inf_flagged():
+            # tables without a pad limb can't carry the in-row infinity
+            # flag; fall back to the P1 digit mask for those fields
             cache = getattr(pk, "_stream_inf_dev", None)
             if cache is None:
                 cache = {}

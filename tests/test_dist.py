@@ -106,7 +106,6 @@ def test_dist_matvec_matches_host():
         assert got == want, f"matrix {k} mismatch"
 
 
-@pytest.mark.pcd_toy
 @pytest.mark.heavy
 def test_groth16_prove_with_dist_context():
     """Full Groth16 prove on the device path with the distributed context:
