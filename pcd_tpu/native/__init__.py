@@ -672,3 +672,22 @@ def poly_eval_mod(modulus: int, coeffs, z: int) -> int:
     if rc != 0:
         raise RuntimeError("pcd_poly_div_linear failed")
     return limbs_to_ints(ev)[0]
+
+
+def ntt_limbs(modulus: int, omega: int, x: np.ndarray,
+              scale: int | None = None) -> np.ndarray:
+    """ntt() staying in canonical (n, NL) limb space end-to-end — the
+    polynomial-product pipeline (snark/marlin/ahp.poly_mul_fft) chains
+    NTT -> pointwise vec_op -> inverse NTT without Python-int detours."""
+    lib = _load()
+    h = field_handle(modulus)
+    x = np.ascontiguousarray(x)
+    n = x.shape[0]
+    out = np.zeros((n, NL), dtype="<u8")
+    sc = None if scale is None else ints_to_limbs([scale % modulus])
+    rc = lib.pcd_ntt(h, n, _u64p(ints_to_limbs([omega % modulus])),
+                     _u64p(x), _u64p(out),
+                     _u64p(sc) if sc is not None else None)
+    if rc != 0:
+        raise RuntimeError("pcd_ntt failed")
+    return out

@@ -79,7 +79,18 @@ def poly_mul_fft(F, a, b):
         return out
     d = EvaluationDomain.new(F, need)
     p = F.MODULUS
-    if d.n >= _DEVICE_FFT_THRESHOLD and _device_fft_ok():
+    try:
+        from ... import native
+
+        nat_ok = native.available() and d.n >= 4096 \
+            and p.bit_length() <= 320
+    except Exception:
+        nat_ok = False
+    if not nat_ok and d.n >= _DEVICE_FFT_THRESHOLD and _device_fft_ok():
+        # device transforms only when the C++ tier is absent: at these
+        # sizes the tunnel round-trips (encode/upload/decode) cost more
+        # than the threaded host NTT, and the chip's cycles belong to
+        # the stream MSMs running concurrently
         import jax.numpy as jnp
         import numpy as np
 
@@ -91,6 +102,20 @@ def poly_mul_fft(F, a, b):
         ev = fctx.fft(jnp.asarray(ab))
         prod = fctx.fp.mont_mul(ev[0], ev[1])
         return fctx.decode(fctx.ifft(prod))[:need]
+    if nat_ok:
+        # limb-resident product: NTT -> pointwise -> inverse NTT with no
+        # Python-int detours (the pointwise Python pass alone cost ~2 s
+        # per 527k-point product in the real-scale Marlin prove)
+        al = native.scalars_to_limbs(
+            [int(v) % p for v in a] + [0] * (d.n - len(a)))
+        bl = native.scalars_to_limbs(
+            [int(v) % p for v in b] + [0] * (d.n - len(b)))
+        ea = native.ntt_limbs(p, d.omega, al)
+        eb = native.ntt_limbs(p, d.omega, bl)
+        prod = native.vec_op(p, "mul", ea, eb)
+        res = native.ntt_limbs(p, pow(d.omega, -1, p), prod,
+                               scale=pow(d.n, -1, p))
+        return native.limbs_to_ints(res)[:need]
     ea = d.fft(list(a) + [0] * (d.n - len(a)))
     eb = d.fft(list(b) + [0] * (d.n - len(b)))
     prod = [x * y % p for x, y in zip(ea, eb)]
@@ -357,8 +382,13 @@ class AHP:
         what = poly_add(what, qmask, p)
         # lincheck mask s: random deg <= n+1 with sum_H s = 0
         # (sum_H X^k = n iff n | k; only k = 0 and k = n occur up to n+1,
-        #  so fixing c_0 = -c_n zeroes the sum)
-        s_mask = [rand() for _ in range(n + 2)]
+        #  so fixing c_0 = -c_n zeroes the sum).  Bulk draw: |H|
+        # rejection samples through the scalar path cost ~8 s per
+        # real-scale prove
+        if rng is not None and hasattr(rng, "randrange_many"):
+            s_mask = rng.randrange_many(p, n + 2)
+        else:
+            s_mask = [rand() for _ in range(n + 2)]
         s_mask[0] = (p - s_mask[n]) % p
         # rowcheck from the MASKED polynomials
         with span("r1/mul_ab"):

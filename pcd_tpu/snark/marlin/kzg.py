@@ -49,6 +49,40 @@ class KZG10:
         from ...pairing.ate import pairing_for
 
         self.pairing = pairing_for(curve_cfg)
+        self._stream_broken = False
+
+    def _stream_msm(self, srs: KZGSRS, offset: int, scalars):
+        """Commit/open MSMs over the SRS powers on the TPU stream tier
+        (they are plain G1 MSMs over a fixed table — the same offload
+        the Groth16/GM17 commitments use; VERDICT r4 item 5).  scalars
+        may be an int list or (n, NL) limb array, applied at `offset`
+        into the powers table; returns a host point or None to fall
+        back to the host C++ tier."""
+        from ..msm_dispatch import (STREAM_MIN, stream_collect,
+                                    stream_enabled, stream_msm_async)
+
+        n = scalars.shape[0] if hasattr(scalars, "shape") else len(scalars)
+        if (self._stream_broken or n < STREAM_MIN
+                or not stream_enabled("auto")):
+            return None
+        try:
+            import numpy as np
+
+            from ...native import NL, scalars_to_limbs
+
+            total = len(srs.powers_g1)
+            sl = np.zeros((total, NL), dtype="<u8")
+            sl[offset : offset + n] = scalars_to_limbs(scalars) \
+                if not hasattr(scalars, "shape") else scalars
+            fut = stream_msm_async(srs, "powers_g1", self.cfg.g1,
+                                   self.Fr.BITS, sl)
+            if fut is None:
+                return None
+            return stream_collect(fut)
+        except Exception:
+            # never let a device fault break proving — host tier covers
+            self._stream_broken = True
+            return None
 
     # -- setup -----------------------------------------------------------
     def setup(self, max_degree: int, rng):
@@ -73,16 +107,20 @@ class KZG10:
     def commit(self, srs: KZGSRS, coeffs, degree_bound=None) -> KZGCommitment:
         assert len(coeffs) <= srs.max_degree + 1, "degree exceeds SRS"
         coeffs = list(coeffs) or [0]
-        powers = host_query(srs, "powers_g1")
-        c = msm_any(subrange(powers, 0, len(coeffs)), coeffs,
-                    self.Fr.BITS)
+        c = self._stream_msm(srs, 0, coeffs)
+        if c is None:
+            powers = host_query(srs, "powers_g1")
+            c = msm_any(subrange(powers, 0, len(coeffs)), coeffs,
+                        self.Fr.BITS)
         shadow = None
         if degree_bound is not None:
             assert len(coeffs) <= degree_bound + 1, "degree bound violated"
-            row = subrange(powers,
-                           srs.max_degree - degree_bound,
-                           srs.max_degree - degree_bound + len(coeffs))
-            shadow = msm_any(row, coeffs, self.Fr.BITS)
+            off = srs.max_degree - degree_bound
+            shadow = self._stream_msm(srs, off, coeffs)
+            if shadow is None:
+                powers = host_query(srs, "powers_g1")
+                row = subrange(powers, off, off + len(coeffs))
+                shadow = msm_any(row, coeffs, self.Fr.BITS)
         return KZGCommitment(c=c, shifted=shadow)
 
     # -- open ------------------------------------------------------------
@@ -104,8 +142,10 @@ class KZG10:
             # Python-bigint loop over SRS-length lists (Marlin's opens
             # walk the full max_degree when degree-bound shadows shift)
             q, y = poly_div_linear(p, coeffs, z)
-            pi = msm_any(subrange(host_query(srs, "powers_g1"), 0,
-                                  q.shape[0]), q, self.Fr.BITS)
+            pi = self._stream_msm(srs, 0, q)
+            if pi is None:
+                pi = msm_any(subrange(host_query(srs, "powers_g1"), 0,
+                                      q.shape[0]), q, self.Fr.BITS)
             return y, pi
         if isinstance(coeffs, np.ndarray):
             from ...native import limbs_to_ints

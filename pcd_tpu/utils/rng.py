@@ -55,6 +55,51 @@ def chacha20_block(key32: bytes, counter: int, nonce12: bytes) -> bytes:
     return struct.pack("<16I", *out)
 
 
+def chacha20_blocks_np(key32: bytes, counter0: int, nblocks: int,
+                       nonce12: bytes = b"\x00" * 12) -> bytes:
+    """`nblocks` consecutive blocks (counters counter0..+nblocks-1) in
+    one vectorized numpy pass — byte-identical to chacha20_block chained
+    (asserted in tests/test_crh.py::test_chacha_bulk_matches_scalar).
+    Bulk draws (the Marlin zk masks sample |H| field elements per prove)
+    were ~60 us/block through the scalar path."""
+    import numpy as np
+
+    M = np.uint32(0xFFFFFFFF)
+
+    def rotl(x, n):
+        return ((x << np.uint32(n)) | (x >> np.uint32(32 - n))) & M
+
+    st = np.empty((16, nblocks), dtype=np.uint32)
+    st[0:4] = np.asarray(_CONSTANTS, dtype=np.uint32)[:, None]
+    st[4:12] = np.frombuffer(key32, dtype="<u4")[:, None]
+    st[12] = (np.uint64(counter0) + np.arange(nblocks, dtype=np.uint64)) \
+        .astype(np.uint32)
+    st[13:16] = np.frombuffer(nonce12, dtype="<u4")[:, None]
+    w = st.copy()
+
+    def q(a, b, c, d):
+        w[a] += w[b]
+        w[d] = rotl(w[d] ^ w[a], 16)
+        w[c] += w[d]
+        w[b] = rotl(w[b] ^ w[c], 12)
+        w[a] += w[b]
+        w[d] = rotl(w[d] ^ w[a], 8)
+        w[c] += w[d]
+        w[b] = rotl(w[b] ^ w[c], 7)
+
+    for _ in range(10):
+        q(0, 4, 8, 12)
+        q(1, 5, 9, 13)
+        q(2, 6, 10, 14)
+        q(3, 7, 11, 15)
+        q(0, 5, 10, 15)
+        q(1, 6, 11, 12)
+        q(2, 7, 8, 13)
+        q(3, 4, 9, 14)
+    out = (w + st).astype("<u4")
+    return np.ascontiguousarray(out.T).tobytes()
+
+
 class ChaChaRng:
     """Deterministic byte stream from a 32-byte seed."""
 
@@ -72,10 +117,40 @@ class ChaChaRng:
         return cls(n.to_bytes(32, "little"))
 
     def fill_bytes(self, n: int) -> bytes:
+        deficit = n - len(self.buf)
+        if deficit > 256:
+            # bulk path: one vectorized pass over all needed blocks
+            # (identical stream to the scalar path — same counters)
+            k = (deficit + 63) // 64
+            self.buf += chacha20_blocks_np(self.key, self.counter, k)
+            self.counter += k
         while len(self.buf) < n:
             self.buf += chacha20_block(self.key, self.counter, b"\x00" * 12)
             self.counter += 1
         out, self.buf = self.buf[:n], self.buf[n:]
+        return out
+
+    def randrange_many(self, bound: int, count: int) -> list:
+        """`count` uniform draws in [0, bound) — the same rejection
+        sampling as randrange, drawn through the vectorized block path
+        (stream-identical: each draw consumes the same bytes)."""
+        nbytes = (bound.bit_length() + 7) // 8
+        shift = 8 * nbytes - bound.bit_length()
+        out = []
+        while len(out) < count:
+            todo = count - len(out)
+            raw = self.fill_bytes(nbytes * (todo + 2 + todo // 16))
+            for i in range(0, len(raw), nbytes):
+                chunk = raw[i : i + nbytes]
+                if len(chunk) < nbytes:
+                    self.buf = chunk + self.buf
+                    break
+                v = int.from_bytes(chunk, "little") >> shift
+                if v < bound:
+                    out.append(v)
+                    if len(out) == count:
+                        self.buf = raw[i + nbytes:] + self.buf
+                        break
         return out
 
     def next_u64(self) -> int:

@@ -97,3 +97,23 @@ def test_chacha_known_vector():
     nonce = bytes.fromhex("000000090000004a00000000")
     block = chacha20_block(key, 1, nonce)
     assert block[:16].hex() == "10f1e7e4d13b5915500fdd1fa32071c4"
+
+
+def test_chacha_bulk_matches_scalar():
+    """chacha20_blocks_np / fill_bytes bulk path / randrange_many must be
+    byte-identical to the scalar RFC-7539 path (generators and zk masks
+    are derived from this stream — any drift changes every hash)."""
+    from pcd_tpu.utils.rng import (ChaChaRng, chacha20_block,
+                                   chacha20_blocks_np)
+
+    key = bytes(range(32))
+    want = b"".join(chacha20_block(key, 5 + i, b"\x00" * 12)
+                    for i in range(9))
+    assert chacha20_blocks_np(key, 5, 9) == want
+    a, b = ChaChaRng(b"bulk"), ChaChaRng(b"bulk")
+    assert (a.fill_bytes(50) + a.fill_bytes(700)
+            == b"".join(b.fill_bytes(1) for _ in range(750)))
+    p = (1 << 255) - 19
+    a, b = ChaChaRng(b"mask"), ChaChaRng(b"mask")
+    assert a.randrange_many(p, 100) == [b.randrange(p) for _ in range(100)]
+    assert a.randrange(p) == b.randrange(p)   # identical post-state
