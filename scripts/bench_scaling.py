@@ -36,7 +36,10 @@ def main():
     rng = np.random.default_rng(2)
     out = {}
 
-    n = 1 << 12
+    # 2^14 points: large enough that the stream tier's per-shard finish
+    # phase (an Amdahl fixed cost replicated on every device) does not
+    # drown the sharded madd work at 8 devices
+    n = 1 << 14
     dom = EvaluationDomain.new(F, 1 << 10)
     g = cfg.g1_gen
     pts = [g * (i % 512 + 1) for i in range(n)]
