@@ -342,7 +342,7 @@ def main():
             extra["ivc_steps_per_s"] = round(1.0 / ivc["ivc_step_s"], 4)
             extra["ivc_tier"] = ivc["tier"]
     except Exception as e:  # never lose the headline metric
-        extra["ivc_error"] = type(e).__name__
+        extra["ivc_error"] = f"{type(e).__name__}: {e}"[:300]
     obj = {
         "metric": "msm_mnt4_298_g1_throughput_2e18",
         "value": round(mpts, 4),

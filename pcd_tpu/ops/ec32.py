@@ -1029,7 +1029,10 @@ class EC32ExtCtx:
 
     # -- stream-MSM kernels (mirror EC32Ctx; coordinates are (R, D*KP)
     # slabs row-major / (D*KP, R) transposed) ------------------------------
-    ADD_COLS_BLOCK = 256
+    # 128: the Fp3 complete-add live set at B=256 overflowed the 16 MB
+    # scoped-vmem stack (17.93 MB) inside the fused two-phase finish at
+    # nwin*L width (help-circuit G2 MSM, caught by bench --tier ivc)
+    ADD_COLS_BLOCK = 128
     MADD_BLOCK = 256
 
     def neg_y_slab(self, Y):

@@ -58,7 +58,7 @@ class StreamSchedule:
     23-bit table index + sign in bit 23, split u16 lo / u8 hi)."""
 
     __slots__ = ("perm_lo", "perm_hi", "loads", "bidx", "runrem",
-                 "maxrun", "T")
+                 "maxrun", "T", "_dev")
 
     IDX_BITS = 23
 
@@ -503,7 +503,21 @@ class StreamMSMCtx:
         Per-window schedule slices are device_put + dispatched one at a
         time so the wire transfer of window w+1 overlaps window w's
         compute, with byte-budget backpressure bounding queued gather
-        memory (a no-op for small windows)."""
+        memory (a no-op for small windows).  Uploaded slices are
+        memoized ON the schedule object: a schedule built without
+        infinity masking is table-agnostic, so the prover reuses one
+        schedule (and one upload) across the a/b1/b2 query MSMs — the
+        schedule wire is the warm-step critical path."""
+        dev = getattr(sched, "_dev", None)
+        if dev is not None:
+            accs = [self._madd_win_dev(XY, plo, phi, lw)
+                    for plo, phi, lw in dev]
+            stacked = tuple(jnp.stack([a[i] for a in accs])
+                            for i in range(3))
+            return self._finish_dev(
+                stacked, jnp.asarray(sched.bidx.reshape(-1)),
+                jnp.asarray(sched.runrem.reshape(-1).astype(np.int32)),
+                sched.maxrun)
         # with the gather chunking (CHUNK_BYTES) a queued window's live
         # transients are bounded, so the whole per-MSM queue fits HBM
         # comfortably and backpressure is normally OFF.  The sparse
@@ -519,14 +533,17 @@ class StreamMSMCtx:
                                       // max(per_win, 1)))
         stride = max(1, max_inflight // 2)
         accs = []
+        dev = []
         for w in range(self.nwin):
             plo = jax.device_put(sched.perm_lo[w])
             phi = jax.device_put(sched.perm_hi[w])
             lw = jax.device_put(sched.loads[w])
+            dev.append((plo, phi, lw))
             accs.append(self._madd_win_dev(XY, plo, phi, lw))
             lag = w - max_inflight
             if lag >= 0 and w % stride == 0:
                 float(accs[lag][0][0, 0])
+        sched._dev = dev
         stacked = tuple(jnp.stack([a[i] for a in accs])
                         for i in range(3))
         return self._finish_dev(

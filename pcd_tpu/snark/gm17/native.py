@@ -401,11 +401,13 @@ class GM17:
                             for nm, _, curve in names + (
                                     ("h_query", None, self.cfg.g1),):
                                 stream_table(pk, nm, curve, self.Fr.BITS)
+                            sched_cache = {}  # a/b share one schedule
                             with span("stream_dispatch"):
                                 for nm, sl, curve in names:
                                     fut = stream_msm_async(
                                         pk, nm, curve, self.Fr.BITS,
-                                        np.ascontiguousarray(sl))
+                                        np.ascontiguousarray(sl),
+                                        sched_cache=sched_cache)
                                     if fut is not None:
                                         stream_futs[nm] = fut
 

@@ -241,21 +241,43 @@ class Groth16:
             return None
         from ..msm_dispatch import stream_table
 
+        # l_query is the z vector offset by the instance columns; padding
+        # its table with n_inst flagged-infinity rows realigns it to the
+        # FULL z vector, so all four z-driven MSMs (a/b1/b2/l) share one
+        # schedule and one schedule upload (the step's wire floor)
+        l_nm = "l_query"
+        fp = None
+        try:
+            from ...ops.msm_stream import stream_ctx
+
+            fp = stream_ctx(self.cfg.g1, self.Fr.BITS).ec.fp
+        except Exception:
+            pass
+        if n_inst and fp is not None and fp.kp > fp.k:
+            if not hasattr(pk, "l_query_zpad"):
+                pk.l_query_zpad = ([self.cfg.g1.infinity()] * n_inst
+                                   + list(pk.l_query))
+            l_nm = "l_query_zpad"
+            n_inst = 0
         names = (("a_query", 0, self.cfg.g1),
                  ("b_g1_query", 0, self.cfg.g1),
                  ("b_g2_query", 0, self.cfg.g2),
-                 ("l_query", n_inst, self.cfg.g1))
+                 (l_nm, n_inst, self.cfg.g1))
         # build every table FIRST (synchronously): the table encode's
         # transients must not overlap the dispatch queues
         for nm, _, curve in names + (("h_query", 0, self.cfg.g1),):
             stream_table(pk, nm, curve, self.Fr.BITS)
         futs = {}
+        sched_cache = {}   # a/b1/b2 (+ padded l) share one schedule
         with span("stream_dispatch"):
             for nm, col0, curve in names:
                 fut = stream_msm_async(pk, nm, curve, self.Fr.BITS,
-                                       z_limbs[col0:])
+                                       z_limbs[col0:],
+                                       sched_cache=sched_cache)
                 if fut is not None:
                     futs[nm] = fut
+        if "l_query_zpad" in futs:
+            futs["l_query"] = futs.pop("l_query_zpad")
         return futs or None
 
     def _stream_launch_h(self, pk, futs, h_limbs):

@@ -208,12 +208,20 @@ def devsched_enabled() -> bool:
     return os.environ.get("PCD_TPU_DEVSCHED", "0") == "1"
 
 
-def stream_msm_async(pk, nm: str, curve, scalar_bits: int, scal_limbs):
+def stream_msm_async(pk, nm: str, curve, scalar_bits: int, scal_limbs,
+                     sched_cache=None):
     """Dispatch one query MSM to the TPU stream tier without blocking
     (fully: host-scheduled variant) or up to the histogram fetch
     (device-scheduled variant); returns an opaque future for
     stream_collect, or None.  scal_limbs: (n, NL) u64 canonical limbs
-    (truncated/validated against the table length)."""
+    (truncated/validated against the table length).
+
+    sched_cache: optional per-prove dict.  When the table carries in-row
+    infinity flags the host schedule is TABLE-AGNOSTIC (placement
+    depends only on the scalars), so the a/b1/b2 commitment MSMs — the
+    same z vector against three tables — share ONE schedule and ONE
+    schedule upload; the schedule wire is the warm IVC step's critical
+    path (round-5 span: stream_dispatch_h ~2-14 s/step)."""
     import numpy as np
 
     tab = stream_table(pk, nm, curve, scalar_bits)
@@ -252,7 +260,16 @@ def stream_msm_async(pk, nm: str, curve, scalar_bits: int, scal_limbs):
         if not act:
             return ("const", sctx.curve.infinity())
         return ("dev", dm, act, ws)
-    sched = sctx.schedule_any(sl, inf)
+    fp = sctx.ec.fp
+    flagged = fp.kp > fp.k   # infinities handled in-kernel via pad limb
+    sched = None
+    key = (sctx.c, sctx.L, qn)
+    if flagged and sched_cache is not None:
+        sched = sched_cache.get(key)
+    if sched is None:
+        sched = sctx.schedule_any(sl, None if flagged else inf)
+        if flagged and sched_cache is not None:
+            sched_cache[key] = sched
     return ("host", sctx, sctx.window_sums_async(XY, sched))
 
 

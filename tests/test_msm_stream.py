@@ -197,3 +197,39 @@ def test_msm_more_points_than_lanes(toy):
     for p, s in zip(pts, scalars):
         exp = exp + p * s
     assert got == exp
+
+
+def test_schedule_reuse_across_tables_with_inf_flags(toy):
+    """A schedule built WITHOUT infinity masking (in-table pad-limb
+    flags handle them, ec32._rcb_maddT_ns) must be reusable across
+    different tables — including an ext-coordinate G2 table — with its
+    uploaded slices memoized on the schedule object.  This is the
+    prover's a/b1/b2 one-schedule-per-z path (snark/msm_dispatch)."""
+    import numpy as np
+
+    from pcd_tpu.msm.host import msm as host_msm
+
+    g1 = StreamMSMCtx(toy.g1, toy.Fr.BITS, c=6, lanes=128)
+    g2 = StreamMSMCtx(toy.g2, toy.Fr.BITS, c=6, lanes=128)
+    if not (g1.ec.fp.kp > g1.ec.fp.k):
+        pytest.skip("no pad limb on this field")
+    n = 61
+    p1s = [toy.g1_gen * (i + 1) for i in range(n - 1)] \
+        + [toy.g1.infinity()]
+    p2s = [toy.g2_gen * (i + 2) for i in range(n)]
+    rng = np.random.default_rng(9)
+    r = toy.g1.order
+    scalars = [int(x) % r for x in rng.integers(0, 1 << 62, size=n)]
+    limbs = g1.limb_rows(scalars, (toy.Fr.BITS + 63) // 64 * 8)
+    XY1, inf1 = g1.encode_table(p1s)
+    XY2, inf2 = g2.encode_table(p2s)
+    sched = g1.schedule_any(limbs, None)     # NO inf masking
+    ws1 = g1.window_sums_async(XY1, sched)   # populates sched._dev
+    ws2 = g2.window_sums_async(XY2, sched)   # reuses uploaded slices
+    got1 = g1.horner_host(tuple(np.asarray(c) for c in ws1))
+    got2 = g2.horner_host(tuple(np.asarray(c) for c in ws2))
+    live1 = [(p, s) for p, s in zip(p1s, scalars)
+             if s and not p.is_infinity()]
+    assert got1 == host_msm([p for p, _ in live1],
+                            [s for _, s in live1])
+    assert got2 == host_msm(p2s, scalars)
